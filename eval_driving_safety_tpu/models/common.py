@@ -1,0 +1,99 @@
+"""Shared NN building blocks (Flax linen, NHWC, TPU-friendly dtypes)."""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class FrozenBatchNorm(nn.Module):
+    """Inference-style BatchNorm: y = (x - mean) / sqrt(var + eps) * scale + bias.
+
+    The reference runs all detector BN layers in eval mode (models are
+    attacked, never trained — `model.eval()` at
+    /root/reference/attack/DSGN/pgd_attack.py:140), so running statistics are
+    plain parameters here. Classifier training freezes backbones too
+    (/root/reference/driving_constraint/Model.py:19-27).
+    """
+    features: int
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        inv = (scale * jnp.reciprocal(jnp.sqrt(var + self.eps))).astype(self.dtype)
+        b = (bias - mean * scale * jnp.reciprocal(jnp.sqrt(var + self.eps))).astype(self.dtype)
+        return x * inv + b
+
+
+def conv(features: int, kernel: int = 3, stride: int = 1, dilation: int = 1,
+         use_bias: bool = False, dtype=jnp.float32, name: Optional[str] = None):
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   kernel_dilation=(dilation, dilation),
+                   padding=[(dilation * (kernel // 2),) * 2] * 2,
+                   use_bias=use_bias, dtype=dtype, name=name)
+
+
+def conv3d(features: int, kernel: int = 3, stride: int = 1,
+           use_bias: bool = False, dtype=jnp.float32, name: Optional[str] = None):
+    return nn.Conv(features, (kernel, kernel, kernel),
+                   strides=(stride, stride, stride),
+                   padding=[(kernel // 2,) * 2] * 3,
+                   use_bias=use_bias, dtype=dtype, name=name)
+
+
+class ConvBnRelu(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    relu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = conv(self.features, self.kernel, self.stride, self.dilation,
+                 dtype=self.dtype)(x)
+        x = FrozenBatchNorm(self.features, dtype=self.dtype)(x)
+        return nn.relu(x) if self.relu else x
+
+
+class ConvBnRelu3D(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    relu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = conv3d(self.features, self.kernel, self.stride, dtype=self.dtype)(x)
+        x = FrozenBatchNorm(self.features, dtype=self.dtype)(x)
+        return nn.relu(x) if self.relu else x
+
+
+def upsample_bilinear(x, out_h: int, out_w: int):
+    """Bilinear resize (align_corners=False), matching the reference's
+    `F.interpolate(..., mode='bilinear', align_corners=False)`
+    (/root/reference/attack/Stereo-RCNN/stereo_rcnn.py:108)."""
+    import jax
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, out_h, out_w, c), method="linear")
+
+
+def upsample_trilinear(x, out_d: int, out_h: int, out_w: int):
+    import jax
+    n, d, h, w, c = x.shape
+    return jax.image.resize(x, (n, out_d, out_h, out_w, c), method="linear")
+
+
+def max_pool(x, window: int, stride: int, padding="SAME"):
+    return nn.max_pool(x, (window, window), strides=(stride, stride),
+                       padding=padding)

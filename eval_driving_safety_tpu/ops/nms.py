@@ -1,0 +1,66 @@
+"""Static-shape NMS (axis-aligned and rotated) for TPU.
+
+Replaces the reference's CUDA `model.roi_layers.nms`
+(/root/reference/attack/Stereo-RCNN/predict_and_save_pgd.py:26,300-302) and
+the rotated NMS inside DSGN's FCOS3D postprocessor.
+
+Design: every call returns a fixed number of kept indices plus a validity
+mask — no data-dependent shapes, so the whole detection path stays inside
+one jit region.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from eval_driving_safety_tpu.ops.boxes import pairwise_iou
+from eval_driving_safety_tpu.ops.rotated import rotated_pairwise_iou
+
+NEG_INF = -1e10
+
+
+def _nms_from_iou(iou, scores, valid, max_out: int, iou_thresh: float):
+    """Greedy NMS given a precomputed (N,N) IoU matrix.
+
+    Returns (keep_idx (max_out,), keep_mask (max_out,)).
+    """
+    n = scores.shape[0]
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    def body(state, _):
+        live_scores, = state
+        best = jnp.argmax(live_scores)
+        best_ok = live_scores[best] > NEG_INF / 2
+        sup = iou[best] > iou_thresh
+        new_scores = jnp.where(sup, NEG_INF, live_scores)
+        # always suppress the selected box itself
+        new_scores = new_scores.at[best].set(NEG_INF)
+        return (new_scores,), (best, best_ok)
+
+    (_,), (keep_idx, keep_mask) = jax.lax.scan(
+        body, (scores,), None, length=max_out)
+    return keep_idx, keep_mask
+
+
+def nms(boxes, scores, max_out: int, iou_thresh: float, valid=None):
+    """Axis-aligned greedy NMS. boxes (N,4), scores (N,)."""
+    if valid is None:
+        valid = jnp.ones(scores.shape, dtype=bool)
+    iou = pairwise_iou(boxes, boxes)
+    return _nms_from_iou(iou, scores, valid, max_out, iou_thresh)
+
+
+def rotated_nms(boxes5, scores, max_out: int, iou_thresh: float, valid=None):
+    """Rotated (BEV) greedy NMS. boxes5 (N,5) = (cx, cy, w, l, angle)."""
+    if valid is None:
+        valid = jnp.ones(scores.shape, dtype=bool)
+    iou = rotated_pairwise_iou(boxes5, boxes5)
+    return _nms_from_iou(iou, scores, valid, max_out, iou_thresh)
+
+
+def topk_with_mask(scores, k: int, valid=None):
+    """Top-k scores and indices with invalid entries pushed to the bottom."""
+    if valid is not None:
+        scores = jnp.where(valid, scores, NEG_INF)
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx, vals > NEG_INF / 2
