@@ -64,6 +64,8 @@ class SRCNNInputConfig:
 class StereoRCNNConfig:
     """Stereo R-CNN (Flax) — capability per /root/reference/attack/Stereo-RCNN/stereo_rcnn.py."""
     num_classes: int = 2                     # background + Car
+    backbone_blocks: Tuple[int, ...] = (3, 4, 23, 3)   # resnet101
+    backbone_width: int = 64
     fpn_channels: int = 256
     pooling_size: int = 7                    # cfg.POOLING_SIZE
     kpts_grid: int = 28                      # cfg.KPTS_GRID
@@ -95,6 +97,15 @@ class StereoRCNNConfig:
     test_nms_thresh: float = 0.4             # cfg.TEST.NMS
     max_detections: int = 50
     input: SRCNNInputConfig = field(default_factory=SRCNNInputConfig)
+
+    @staticmethod
+    def tiny() -> "StereoRCNNConfig":
+        """Small config for CPU tests: shallow backbone, tiny roi counts."""
+        return StereoRCNNConfig(
+            backbone_blocks=(1, 1, 1, 1), backbone_width=8, fpn_channels=16,
+            pre_nms_top_n=128, post_nms_top_n=32, rpn_batch_size=32,
+            roi_batch_size=16, max_gt_boxes=8, max_detections=8,
+            input=SRCNNInputConfig(height=96, width=320))
 
 
 @dataclass(frozen=True)

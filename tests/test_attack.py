@@ -1,0 +1,111 @@
+"""PGD and universal-patch engines: projection, compositing, persistence."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eval_driving_safety_tpu.attack import (
+    circular_mask, composite_patch, composite_patch_batch, init_patch,
+    load_patch, patch_update_step, pgd_attack, sample_patch_centers,
+    save_patch)
+
+
+def test_pgd_ascends_and_projects():
+    clean_l = jnp.full((2, 8, 8, 3), 0.5)
+    clean_r = jnp.full((2, 8, 8, 3), 0.5)
+
+    def loss(l, r):
+        return l.sum() + r.sum()   # grad = +1 everywhere
+
+    res = pgd_attack(loss, clean_l, clean_r, num_iters=4, alpha=0.1,
+                     eps=0.25, clip_min=0.0, clip_max=1.0)
+    # 4 steps of +0.1 projected to eps=0.25 ball -> 0.75 everywhere
+    np.testing.assert_allclose(np.asarray(res.adv_left), 0.75, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.adv_right), 0.75, atol=1e-6)
+    assert res.losses.shape == (4,)
+
+
+def test_pgd_per_channel_clamp():
+    clean = jnp.full((1, 4, 4, 3), 0.9)
+
+    def loss(l, r):
+        return l.sum() + r.sum()
+
+    res = pgd_attack(loss, clean, clean, num_iters=8, alpha=0.5, eps=10.0,
+                     clip_min=jnp.zeros(3),
+                     clip_max=jnp.array([1.0, 2.0, 3.0]))
+    out = np.asarray(res.adv_left)
+    np.testing.assert_allclose(out[..., 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(out[..., 1], 2.0, atol=1e-6)
+    np.testing.assert_allclose(out[..., 2], 3.0, atol=1e-6)
+
+
+def test_circular_mask_geometry():
+    m = np.asarray(circular_mask(11))[..., 0]
+    assert m[5, 5] == 1.0 and m[0, 0] == 0.0
+    assert m[5, 0] == 1.0 and m[0, 5] == 1.0   # circle touches edges
+    # symmetric
+    np.testing.assert_array_equal(m, m[::-1])
+    np.testing.assert_array_equal(m, m[:, ::-1])
+
+
+def test_composite_patch_inside_and_outside():
+    img = jnp.zeros((32, 48, 3))
+    patch = jnp.ones((11, 11, 3))
+    out = np.asarray(composite_patch(img, patch, jnp.array([16, 24])))
+    assert out[16, 24, 0] == 1.0            # center painted
+    assert out[0, 0, 0] == 0.0              # far corner untouched
+    assert out[16 - 6, 24, 0] == 0.0        # just outside radius 5
+    assert out[16 - 5, 24, 0] == 1.0        # on the circle
+
+
+def test_sample_centers_within_bands():
+    rng = jax.random.PRNGKey(0)
+    cl, cr = sample_patch_centers(rng, 64, 384, 1248, radius=38,
+                                  disparity_shift=-64.0)
+    cl, cr = np.asarray(cl), np.asarray(cr)
+    assert (cl[:, 0] >= int(384 * 0.4)).all()
+    assert (cl[:, 0] <= 384 - 38 - 1).all()
+    assert (cl[:, 1] >= int(1248 * 0.2)).all()
+    assert (cl[:, 1] <= int(1248 * 0.8)).all()
+    np.testing.assert_array_equal(cr[:, 1], cl[:, 1] - 64)  # disparity shift
+    np.testing.assert_array_equal(cr[:, 0], cl[:, 0])
+
+
+def test_patch_update_descends_loss():
+    rng = jax.random.PRNGKey(1)
+    imgs = jnp.zeros((2, 32, 48, 3))
+    patch = jnp.full((11, 11, 3), 0.5)
+    cl, cr = sample_patch_centers(rng, 2, 32, 48, radius=5,
+                                  disparity_shift=-2.0)
+
+    def loss(l, r):
+        return (l ** 2).sum() + (r ** 2).sum()   # minimized at patch=0
+
+    p1, loss0 = patch_update_step(loss, patch, imgs, imgs, cl, cr,
+                                  alpha=1.0, eps=0.05)
+    p2, loss1 = patch_update_step(loss, p1, imgs, imgs, cl, cr,
+                                  alpha=1.0, eps=0.05)
+    assert float(loss1) < float(loss0)
+    # step magnitude clamped to eps
+    assert float(jnp.abs(p1 - patch).max()) <= 0.05 + 1e-6
+
+
+def test_patch_npy_roundtrip(tmp_path):
+    patch = jnp.asarray(np.random.RandomState(0).rand(11, 11, 3).astype(np.float32))
+    path = str(tmp_path / "epoch3" / "patch.npy")
+    save_patch(path, patch)
+    raw = np.load(path)
+    assert raw.shape == (1, 3, 11, 11)      # reference layout
+    back = load_patch(path)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(patch), atol=1e-7)
+    resized = load_patch(path, resize_to=21)
+    assert resized.shape == (21, 21, 3)
+
+
+def test_init_patch_resume(tmp_path):
+    d, r, p = init_patch(384, 0.2, str(tmp_path))
+    assert d == 77 and r == 38 and p.shape == (77, 77, 3)
+    assert float(jnp.abs(p).max()) == 0.0
+    # resume path loads the saved epoch0 patch
+    d2, r2, p2 = init_patch(384, 0.2, str(tmp_path))
+    assert d2 == d and p2.shape == p.shape

@@ -1,0 +1,81 @@
+"""Stereo R-CNN model: shapes, loss path, and attack-gradient flow."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eval_driving_safety_tpu.config import StereoRCNNConfig
+from eval_driving_safety_tpu.models.stereo_rcnn import (
+    StereoRCNN, total_attack_loss)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = StereoRCNNConfig.tiny()
+    model = StereoRCNN(cfg)
+    h, w = cfg.input.height, cfg.input.width
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    im_l = jax.random.normal(k1, (1, h, w, 3)) * 20.0
+    im_r = jax.random.normal(k2, (1, h, w, 3)) * 20.0
+    g = cfg.max_gt_boxes
+    gt = {
+        "gt_left": jnp.zeros((1, g, 5)).at[0, 0].set(
+            jnp.array([40.0, 30.0, 90.0, 70.0, 1.0])),
+        "gt_right": jnp.zeros((1, g, 5)).at[0, 0].set(
+            jnp.array([30.0, 30.0, 80.0, 70.0, 1.0])),
+        "gt_merge": jnp.zeros((1, g, 4)).at[0, 0].set(
+            jnp.array([30.0, 30.0, 90.0, 70.0])),
+        "gt_dim_orien": jnp.zeros((1, g, 5)).at[0, 0].set(
+            jnp.array([1.5, 1.6, 3.9, 0.0, 1.0])),
+        "gt_kpts": jnp.full((1, g, 6), -1.0).at[0, 0].set(
+            jnp.array([1.0, 60.0, 42.0, 88.0, 0.0, 0.0])),
+        "num_boxes": jnp.array([1], jnp.int32),
+    }
+    params = model.init(k3, im_l, im_r, gt=gt, rng=jax.random.PRNGKey(1),
+                        mode="attack")
+    return cfg, model, params, im_l, im_r, gt
+
+
+def test_attack_mode_shapes_and_losses(setup):
+    cfg, model, params, im_l, im_r, gt = setup
+    out = model.apply(params, im_l, im_r, gt=gt, rng=jax.random.PRNGKey(2),
+                      mode="attack")
+    r = cfg.roi_batch_size
+    assert out.rois_left.shape == (1, r, 5)
+    assert out.cls_prob.shape == (1, r, cfg.num_classes)
+    assert out.bbox_pred.shape == (1, r, 6 * cfg.num_classes)
+    assert out.dim_orien_pred.shape == (1, r, 5 * cfg.num_classes)
+    assert out.kpts_prob.shape == (1, r, 4 * cfg.kpts_grid)
+    for k, v in out.losses.items():
+        assert np.isfinite(float(v)), k
+    # cls/rpn losses must be strictly positive (there is always bg/fg mix)
+    assert float(out.losses["rpn_cls"]) > 0
+    assert float(out.losses["rcnn_cls"]) > 0
+
+
+def test_infer_mode_no_gt(setup):
+    cfg, model, params, im_l, im_r, _ = setup
+    out = model.apply(params, im_l, im_r, mode="infer")
+    p = cfg.post_nms_top_n
+    assert out.rois_left.shape == (1, p, 5)
+    assert out.roi_valid.shape == (1, p)
+    assert out.rois_label is None
+    assert all(float(v) == 0.0 for v in out.losses.values())
+
+
+def test_attack_gradient_flows_to_pixels(setup):
+    cfg, model, params, im_l, im_r, gt = setup
+    uncert = jnp.zeros((6,))
+
+    def loss_fn(il, ir):
+        out = model.apply(params, il, ir, gt=gt, rng=jax.random.PRNGKey(2),
+                          mode="attack")
+        return total_attack_loss(out.losses, uncert)
+
+    gl, gr = jax.grad(loss_fn, argnums=(0, 1))(im_l, im_r)
+    assert np.isfinite(np.asarray(gl)).all()
+    assert np.isfinite(np.asarray(gr)).all()
+    # both views must receive nonzero gradient (white-box attack viability)
+    assert float(jnp.abs(gl).max()) > 0
+    assert float(jnp.abs(gr).max()) > 0
