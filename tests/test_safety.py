@@ -1,0 +1,235 @@
+"""Safety stack: CommonRoad IO roundtrip, converters, collision core,
+KS primitives, A* planner, and the five metrics end-to-end."""
+import math
+import os
+
+import numpy as np
+import pytest
+
+from eval_driving_safety_tpu.data.kitti import KittiObject
+from eval_driving_safety_tpu.safety import collision as C
+from eval_driving_safety_tpu.safety.commonroad_io import (
+    RectShape, Scenario, State, StaticObstacle, Trajectory, read_scenario,
+    read_solution, solution_file_name, write_scenario, write_solution)
+from eval_driving_safety_tpu.safety.convert import (
+    camera_to_ego, convert_detection_scenario, convert_gt_scenario)
+from eval_driving_safety_tpu.safety.metrics import evaluate_all
+from eval_driving_safety_tpu.safety.planner import plan_scenario
+from eval_driving_safety_tpu.safety.primitives import (
+    primitives_for_band, simulate_ks, transform_states)
+from eval_driving_safety_tpu.safety.templates import (
+    make_init_scenario, write_templates)
+
+
+def _obj(x=2.0, y=1.6, z=12.0, ry=math.pi / 2, typ="Car"):
+    return KittiObject(
+        type=typ, truncated=0, occluded=0, alpha=0.0,
+        bbox=np.array([100.0, 100.0, 200.0, 180.0]),
+        dimensions=np.array([1.5, 1.7, 4.0]),
+        location=np.array([x, y, z]), rotation_y=ry)
+
+
+# -- IO ---------------------------------------------------------------------
+
+def test_scenario_roundtrip(tmp_path):
+    sc = make_init_scenario("left", "11_13")
+    sc.static_obstacles.append(StaticObstacle(
+        2001, "parkedVehicle", RectShape(4.0, 1.7),
+        State(position=np.array([12.0, -2.0]), orientation=0.3)))
+    path = str(tmp_path / "s.xml")
+    write_scenario(sc, path)
+    back = read_scenario(path)
+    assert len(back.lanelets) == len(sc.lanelets)
+    assert back.dt == 0.1
+    pp = back.planning_problems[0]
+    assert pp.problem_id == 100
+    assert pp.goal.position.center == (15.0, 3.5)
+    assert pp.goal.velocity.start == 11.0 and pp.goal.velocity.end == 13.0
+    assert pp.goal.time.start == 4 and pp.goal.time.end == 30
+    ob = back.static_obstacles[0]
+    np.testing.assert_allclose(ob.initial_state.position, [12.0, -2.0])
+    assert ob.shape.length == 4.0 and ob.shape.width == 1.7
+
+
+def test_templates_all_six(tmp_path):
+    paths = write_templates(str(tmp_path))
+    assert len(paths) == 6
+    sc = read_scenario(os.path.join(str(tmp_path), "right",
+                                    "initial_scenario_6_8.xml"))
+    assert sc.planning_problems[0].goal.position.center == (15.0, -3.5)
+    assert sc.planning_problems[0].goal.velocity.end == 8.0
+
+
+def test_solution_roundtrip_and_naming(tmp_path):
+    states = [State(position=np.array([i * 0.6, 0.0]), orientation=0.0,
+                    velocity=6.0, steering_angle=0.0, time_step=i)
+              for i in range(5)]
+    path = write_solution(str(tmp_path), "000042", Trajectory(0, states), 100)
+    name = os.path.basename(path)
+    assert name == "solution_KS1:SM1:000042:2020a.xml"
+    assert name[17:23] == "000042"      # check_collision.py:63 contract
+    bid, ppid, traj = read_solution(path)
+    assert ppid == 100 and len(traj.states) == 5
+    np.testing.assert_allclose(traj.states[3].position, [1.8, 0.0])
+
+
+# -- conversion -------------------------------------------------------------
+
+def test_camera_to_ego_transform():
+    pos, orient = camera_to_ego(_obj(x=2.0, z=12.0, ry=math.pi / 2))
+    np.testing.assert_allclose(pos, [12.0, -2.0])     # (z, -x)
+    np.testing.assert_allclose(orient, 0.0, atol=1e-9)  # -(pi/2 - pi/2)
+
+
+def test_detection_scenario_static_only():
+    sc = convert_detection_scenario(
+        [_obj(), _obj(typ="Pedestrian"), _obj(typ="Truck", x=-3.0)], False)
+    assert len(sc.static_obstacles) == 2      # Pedestrian filtered
+    assert not sc.dynamic_obstacles
+    ob = sc.static_obstacles[0]
+    assert ob.obstacle_type == "parkedVehicle"
+    assert ob.shape.length == 4.0 and ob.shape.width == 1.7
+
+
+def test_gt_scenario_annotations():
+    objs = [_obj(), _obj(x=-3.0), _obj(typ="Cyclist"), _obj(x=5.0)]
+    annos = ["0", "1", "n", "n"]
+    sc = convert_gt_scenario(objs, annos, is_highway=False, seed=3)
+    assert len(sc.static_obstacles) == 1
+    assert len(sc.dynamic_obstacles) == 1
+    dyn = sc.dynamic_obstacles[0]
+    assert len(dyn.trajectory.states) == 19
+    v = dyn.trajectory.states[0].velocity
+    assert 6.0 <= v <= 8.0                     # street band
+    # constant-velocity rollout along orientation + pi
+    p1 = dyn.trajectory.states[0].position
+    p2 = dyn.trajectory.states[1].position
+    np.testing.assert_allclose(np.linalg.norm(p2 - p1), v * 0.1, rtol=1e-6)
+
+
+# -- collision core ---------------------------------------------------------
+
+def test_native_library_builds():
+    assert C.get_native() is not None, "C++ collision core must compile"
+
+
+@pytest.mark.parametrize("b,expected", [
+    ((3.0, 0.0, 0.0, 4.0, 2.0), True),     # overlapping
+    ((10.0, 0.0, 0.0, 4.0, 2.0), False),   # far apart
+    ((4.2, 0.0, 0.0, 4.0, 2.0), False),    # just separated (gap 0.2)
+    ((0.0, 0.0, 1.0, 1.0, 1.0), True),     # rotated, contained
+])
+def test_obb_intersect(b, expected):
+    a = np.array([0.0, 0.0, 0.0, 4.0, 2.0])
+    assert C.obb_intersect(a, np.array(b)) is expected
+
+
+def test_obb_rotated_diagonal_case():
+    # two long thin boxes crossing at 90 degrees through the same center
+    a = np.array([0.0, 0.0, 0.0, 10.0, 0.5])
+    b = np.array([0.0, 3.0, math.pi / 2, 10.0, 0.5])
+    assert C.obb_intersect(a, b)           # b spans y in [-2, 8] at x~0
+    b_far = np.array([6.0, 3.0, math.pi / 2, 10.0, 0.5])
+    assert not C.obb_intersect(a, b_far)   # x-separated
+
+
+def test_trajectory_time_alignment():
+    sc = Scenario(benchmark_id="t")
+    from eval_driving_safety_tpu.safety.commonroad_io import DynamicObstacle
+    states = [State(position=np.array([100.0, 0.0]), time_step=j)
+              for j in range(1, 5)]
+    states[2] = State(position=np.array([1.8, 0.0]), time_step=3)  # only t=3 near
+    sc.dynamic_obstacles.append(DynamicObstacle(
+        1, "car", RectShape(4.0, 1.7),
+        State(position=np.array([100.0, 0.0]), time_step=0),
+        Trajectory(1, states)))
+    ego = Trajectory(0, [State(position=np.array([1.8, 0.0]), time_step=t)
+                         for t in range(5)])
+    assert C.first_collision(sc, ego) == 3   # collides exactly at t=3
+    # same place but obstacle never there at matching time
+    ego2 = Trajectory(0, [State(position=np.array([1.8, 0.0]), time_step=t)
+                          for t in (0, 1)])
+    assert C.first_collision(sc, ego2) == -1
+
+
+# -- primitives -------------------------------------------------------------
+
+def test_ks_straight_line():
+    s = simulate_ks(6.0, 0.0, 6.0, 0.0, duration=0.5, dt=0.1)
+    assert s.shape == (6, 5)
+    np.testing.assert_allclose(s[-1, 0], 3.0, rtol=1e-6)   # 6 m/s * 0.5 s
+    np.testing.assert_allclose(s[:, 1], 0.0, atol=1e-9)
+    np.testing.assert_allclose(s[:, 3], 6.0)
+
+
+def test_ks_turns_with_positive_steering():
+    s = simulate_ks(6.0, 0.3, 6.0, 0.3, duration=0.5, dt=0.1)
+    assert s[-1, 1] > 0.1                  # positive steering -> +y
+    assert s[-1, 2] > 0.1                  # heading increases
+
+
+def test_transform_states_rigid():
+    s = simulate_ks(6.0, 0.0, 6.0, 0.0, duration=0.5, dt=0.1)
+    w = transform_states(s, 1.0, 2.0, math.pi / 2)
+    np.testing.assert_allclose(w[-1, :2], [1.0, 5.0], atol=1e-6)
+    np.testing.assert_allclose(w[-1, 2], math.pi / 2, atol=1e-9)
+
+
+def test_primitive_band_counts():
+    prims = primitives_for_band(False)
+    assert len(prims) > 20
+    assert {p.v_start for p in prims} == {6.0, 8.0}
+    sa_vals = {round(p.sa_start, 3) for p in prims}
+    assert -1.066 in sa_vals and 1.066 in sa_vals
+
+
+# -- planner + metrics end-to-end ------------------------------------------
+
+def test_plan_empty_scenario_reaches_goal():
+    sc = make_init_scenario("straight", "6_8")
+    traj = plan_scenario(sc, is_highway=False)
+    assert traj is not None
+    last = traj.states[-1]
+    assert abs(last.position[0] - 15.0) <= 2.5    # inside 5m-long goal rect
+    assert abs(last.position[1]) <= 1.75
+    assert 4 <= last.time_step <= 30
+    assert 6.0 <= last.velocity <= 8.0
+
+
+def test_plan_blocked_scenario():
+    sc = make_init_scenario("straight", "6_8")
+    # wall of parked cars across the whole goal corridor
+    for y in np.arange(-8.0, 8.1, 2.0):
+        sc.static_obstacles.append(StaticObstacle(
+            sc.generate_object_id(), "parkedVehicle", RectShape(2.0, 2.0),
+            State(position=np.array([10.0, y]), orientation=0.0)))
+    traj = plan_scenario(sc, is_highway=False)
+    if traj is not None:   # if it found a way around, it must not collide
+        assert not C.collides(sc, traj)
+
+
+def test_full_pipeline_metrics(tmp_path):
+    # detected scenario (with a parked car OFF the path) -> plan -> solution
+    det_dir = tmp_path / "scen"
+    sol_dir = tmp_path / "sol"
+    os.makedirs(det_dir)
+    sc = convert_detection_scenario([_obj(x=-5.0, z=10.0)], False)
+    sc.benchmark_id = "000007"
+    write_scenario(sc, str(det_dir / "000007.xml"))
+    traj = plan_scenario(sc, is_highway=False)
+    assert traj is not None
+    write_solution(str(sol_dir), "000007", traj, 100)
+    # GT scenario: same car actually sits ON the ego path -> collision
+    gt_dir = tmp_path / "gt"
+    gt = convert_detection_scenario([_obj(x=0.0, z=10.0, ry=math.pi / 2)],
+                                    False)
+    gt.benchmark_id = "000007"
+    write_scenario(gt, str(gt_dir / "000007.xml"))
+    m = evaluate_all(str(det_dir), str(sol_dir), str(gt_dir))
+    assert m.num_scenarios == 1 and m.num_solutions == 1
+    assert m.num_collisions == 1          # planned blind, GT says crash
+    assert m.success_rate == 1.0
+    assert m.collision_rate == 1.0
+    assert m.safe_driving_rate == 0.0
+    assert m.avg_trajectory_length > 10.0
+    assert m.avg_travel_time >= 0.4
