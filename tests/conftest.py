@@ -2,11 +2,15 @@
 
 Mirrors the driver's multi-chip dry-run environment so sharding tests
 (`jax.sharding.Mesh` over 8 devices) run without TPU hardware.
-Must run before `jax` is imported anywhere.
+
+NOTE: this image's sitecustomize (axon) imports jax at interpreter startup
+and registers a real-TPU backend, so env vars set here are too late for
+platform selection — `jax.config.update("jax_platforms", ...)` is the
+reliable override (it takes effect because backends initialize lazily).
+XLA_FLAGS must still be set before the first backend query.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +19,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual-CPU mesh, not the tunneled TPU")
+assert len(jax.devices()) == 8

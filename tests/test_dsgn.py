@@ -112,5 +112,6 @@ def test_box3d_corners_axis_aligned():
     assert c.shape == (8, 3)
     np.testing.assert_allclose(c[:4, 1], 2.0)        # bottom at y
     np.testing.assert_allclose(c[4:, 1], 0.5)        # top at y - h
-    np.testing.assert_allclose(sorted(set(np.round(c[:, 0], 4))), [0.1, 1.9])
+    # KITTI: ry=0 -> length axis along camera x, width along z
+    np.testing.assert_allclose(sorted(set(np.round(c[:, 0], 4))), [-1.0, 3.0])
     np.testing.assert_allclose(sorted(set(np.round(c[:, 2], 4))), [9.1, 10.9])
