@@ -119,8 +119,14 @@ class BEVHead(nn.Module):
 
 
 class DSGN(nn.Module):
-    """Full DSGN: stereo pair + calibration -> depth maps + BEV detections."""
+    """Full DSGN: stereo pair + calibration -> depth maps + BEV detections.
+
+    `volume_constraint` (optional) is applied to the PSV right after
+    construction — pass `parallel.sharding.constrain_psv` partial'd with a
+    mesh to shard the depth-plane axis over a model axis.
+    """
     cfg: DSGNConfig
+    volume_constraint: Any = None
 
     @nn.compact
     def __call__(self, im_left, im_right, calib_fu, calib_baseline,
@@ -138,6 +144,8 @@ class DSGN(nn.Module):
         psv = build_psv(fl, fr, calib_fu.astype(dtype),
                         calib_baseline.astype(dtype),
                         planes.astype(dtype), stride)   # (B,D,H,W,2C)
+        if self.volume_constraint is not None:
+            psv = self.volume_constraint(psv)
 
         # remat: recompute the 3D hourglass in the backward pass instead of
         # keeping its D x H x W activations in HBM (SURVEY.md §5 long-context
