@@ -1,0 +1,171 @@
+"""Stereo R-CNN detection decode -> 3D boxes -> KITTI export.
+
+Capability parity: the test pipeline of
+/root/reference/attack/Stereo-RCNN/predict_and_save_pgd.py:160-427:
+per-class score threshold (0.05) -> sort -> NMS (cfg.TEST.NMS) ->
+bbox/keypoint/border delta decode (bbox_transform_inv / kpts_transform_inv /
+border_transform_inv) -> border fix-up via infer_boundary -> closed-form 3D
+box solve from stereo boxes + keypoint -> dense photometric alignment
+refining disparity -> re-solve -> `write_detection_results` KITTI txts.
+
+The reference bug `im2show_left` used-before-assignment
+(predict_and_save_pgd.py:271) is intentionally NOT replicated
+(SURVEY.md §7 quirks list).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from eval_driving_safety_tpu.config import StereoRCNNConfig
+from eval_driving_safety_tpu.ops import boxes as B
+from eval_driving_safety_tpu.ops.box_solver import (
+    infer_boundary, solve_x_y_theta_from_kpt, solve_x_y_z_theta_from_kpt)
+from eval_driving_safety_tpu.ops.dense_align import align_disparities
+from eval_driving_safety_tpu.ops.nms import nms
+
+CLASS_NAMES = ("__background__", "Car")
+
+
+def decode_kpts(boxes_left: np.ndarray, kpts_prob: np.ndarray,
+                lb_prob: np.ndarray, rb_prob: np.ndarray,
+                grid: int) -> np.ndarray:
+    """(R,4) boxes + head probabilities -> (R, 5) [u, type, prob, left_u,
+    right_u] — the reference's kpts/border_transform_inv: bin centers mapped
+    back to image columns within each roi."""
+    x1 = boxes_left[:, 0]
+    w = np.maximum(boxes_left[:, 2] - x1 + 1.0, 1.0)
+
+    def bin_to_u(b):
+        return x1 + (b + 0.5) * w / grid
+
+    flat = np.argmax(kpts_prob, axis=1)
+    kpt_type = flat // grid
+    kpt_u = bin_to_u(flat % grid)
+    prob = kpts_prob[np.arange(len(flat)), flat]
+    lb = bin_to_u(np.argmax(lb_prob, axis=1))
+    rb = bin_to_u(np.argmax(rb_prob, axis=1))
+    return np.stack([kpt_u, kpt_type.astype(np.float64), prob, lb, rb],
+                    axis=1)
+
+
+def predict_image(outputs, im_left, im_right, calib, cfg: StereoRCNNConfig,
+                  image_hw=None, dense_align: bool = True,
+                  batch_index: int = 0) -> List[Dict]:
+    """One image's StereoRCNNOutputs row -> KITTI detection dicts.
+
+    im_left/im_right: (H, W, 3) arrays in the model's pixel convention
+    (used only for dense alignment). `image_hw` = original (unpadded) size.
+    """
+    i = batch_index
+    scores = np.asarray(outputs.cls_prob[i])                 # (R, C)
+    boxes_l = np.asarray(outputs.rois_left[i][:, 1:5])
+    boxes_r = np.asarray(outputs.rois_right[i][:, 1:5])
+    valid = np.asarray(outputs.roi_valid[i]).astype(bool)
+    bbox_pred = np.asarray(outputs.bbox_pred[i])             # (R, 6C)
+    dim_orien = np.asarray(outputs.dim_orien_pred[i])        # (R, 5C)
+    kpts_prob = np.asarray(outputs.kpts_prob[i])
+    lb_prob = np.asarray(outputs.left_border_prob[i])
+    rb_prob = np.asarray(outputs.right_border_prob[i])
+
+    h_img, w_img = image_hw or (cfg.input.height, cfg.input.width)
+    stds = np.asarray(cfg.bbox_normalize_stds)
+    stds6 = np.concatenate([stds, stds[[0]], stds[[2]]])
+
+    kpts_all = decode_kpts(boxes_l, kpts_prob, lb_prob, rb_prob,
+                           cfg.kpts_grid)
+
+    detections: List[Dict] = []
+    for j in range(1, cfg.num_classes):
+        cls_scores = scores[:, j] * valid
+        keep0 = cls_scores > cfg.score_thresh
+        if not keep0.any():
+            continue
+        d6 = bbox_pred.reshape(-1, cfg.num_classes, 6)[:, j] * stds6
+        left = np.asarray(B.decode_boxes(jnp.asarray(boxes_l),
+                                         jnp.asarray(d6[:, :4])))
+        d_r = np.stack([d6[:, 4], d6[:, 1], d6[:, 5], d6[:, 3]], axis=1)
+        right = np.asarray(B.decode_boxes(jnp.asarray(boxes_r),
+                                          jnp.asarray(d_r)))
+        left = np.asarray(B.clip_boxes(jnp.asarray(left), h_img, w_img))
+        right = np.asarray(B.clip_boxes(jnp.asarray(right), h_img, w_img))
+        do5 = dim_orien.reshape(-1, cfg.num_classes, 5)[:, j]
+
+        idx = np.where(keep0)[0]
+        order = idx[np.argsort(-cls_scores[idx])]
+        keep_idx, keep_mask = nms(jnp.asarray(left[order]),
+                                  jnp.asarray(cls_scores[order]),
+                                  cfg.max_detections, cfg.test_nms_thresh)
+        sel = order[np.asarray(keep_idx)[np.asarray(keep_mask)]]
+        if sel.size == 0:
+            continue
+
+        cls_left = left[sel]
+        cls_right = right[sel]
+        cls_sc = cls_scores[sel]
+        cls_do = do5[sel]
+        cls_kpts = kpts_all[sel].copy()
+
+        # border fix-up against geometric occlusion inference
+        inferred = infer_boundary((h_img, w_img), cls_left)
+        narrow = (cls_kpts[:, 4] - cls_kpts[:, 3]) < \
+            0.5 * (inferred[:, 1] - inferred[:, 0])
+        cls_kpts[narrow, 3:5] = inferred[narrow]
+
+        solved = []
+        for k in range(cls_left.shape[0]):
+            dims = cls_do[k, :3]
+            alpha = math.atan2(cls_do[k, 3], cls_do[k, 4])
+            status, state = solve_x_y_z_theta_from_kpt(
+                (h_img, w_img), calib, alpha, dims, cls_left[k],
+                cls_right[k], cls_kpts[k])
+            if status > 0:
+                solved.append((k, state, dims, alpha))
+        if not solved:
+            continue
+
+        if dense_align and im_left is not None:
+            sel_rows = np.array([s[0] for s in solved])
+            init_disp = np.array([
+                calib.f_u * calib.baseline / max(float(s[1][2]), 0.5)
+                for s in solved])
+            ok, disp = align_disparities(
+                jnp.asarray(im_left), jnp.asarray(im_right),
+                jnp.asarray(cls_left[sel_rows]),
+                jnp.asarray(cls_kpts[sel_rows][:, 3:5]),
+                jnp.asarray(init_disp))
+            ok = np.asarray(ok)
+            disp = np.asarray(disp)
+            for n, (k, state, dims, alpha) in enumerate(solved):
+                if ok[n]:
+                    st, z = solve_x_y_theta_from_kpt(
+                        (h_img, w_img), calib, alpha, dims, cls_left[k],
+                        disp[n], cls_kpts[k])
+                    xyz = (float(st[0]), float(st[1]), float(z))
+                    theta = float(st[2])
+                else:
+                    xyz = tuple(float(v) for v in state[:3])
+                    theta = float(state[3])
+                detections.append(_det_dict(j, cls_left[k], dims, xyz,
+                                            theta, float(cls_sc[k])))
+        else:
+            for k, state, dims, alpha in solved:
+                detections.append(_det_dict(
+                    j, cls_left[k], dims,
+                    tuple(float(v) for v in state[:3]), float(state[3]),
+                    float(cls_sc[k])))
+    return detections
+
+
+def _det_dict(cls_j, box_left, dims, xyz, theta, score) -> Dict:
+    return {
+        "type": CLASS_NAMES[cls_j % len(CLASS_NAMES)],
+        "bbox": np.asarray(box_left[:4], np.float64),
+        "dimensions": (float(dims[0]), float(dims[1]), float(dims[2])),
+        "location": xyz,
+        "rotation_y": theta,
+        "score": score,
+    }

@@ -1,0 +1,72 @@
+"""Dense photometric stereo alignment: per-detection disparity refinement.
+
+Capability parity: the external `dense_align.align_parallel` used at
+/root/reference/attack/Stereo-RCNN/predict_and_save_pgd.py:381-384
+(upstream Stereo R-CNN): for each detected object, sweep candidate
+disparities around the geometric estimate and pick the one minimizing the
+photometric error between the left box region and the disparity-shifted
+right image.
+
+TPU-first design: ONE vectorized program — every detection samples a fixed
+P x P grid over the lower half of its (border-clipped) box, all C candidate
+disparities are evaluated in parallel as a (N, C, P, P) gather + SSD
+reduction, argmin over C. No per-detection host loops.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear(img, ys, xs):
+    """img (H, W, 3); ys/xs any shape -> (..., 3) with border clamp."""
+    h, w = img.shape[0], img.shape[1]
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = ys - y0
+    fx = xs - x0
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    return (img[y0, x0] * ((1 - fy) * (1 - fx))[..., None]
+            + img[y0, x1] * ((1 - fy) * fx)[..., None]
+            + img[y1, x0] * (fy * (1 - fx))[..., None]
+            + img[y1, x1] * (fy * fx)[..., None])
+
+
+def align_disparities(im_left, im_right, boxes, borders, init_disp, *,
+                      num_candidates: int = 64, sweep_px: float = 8.0,
+                      grid: int = 24) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Refine per-detection disparities photometrically.
+
+    im_left/im_right: (H, W, 3) float images (any consistent scale).
+    boxes: (N, 4) left boxes; borders: (N, 2) visible [left_u, right_u]
+    span (from the border head / infer_boundary); init_disp: (N,) geometric
+    estimates. Returns (success (N,) bool, disparity (N,)).
+    """
+    cands = jnp.linspace(-sweep_px, sweep_px, num_candidates)  # (C,)
+
+    def per_det(box, border, d0):
+        x1 = jnp.maximum(box[0], border[0])
+        x2 = jnp.minimum(box[2], border[1])
+        y1, y2 = box[1], box[3]
+        # lower half of the box: the body region used upstream
+        ym = (y1 + y2) / 2.0
+        us = x1 + (x2 - x1) * (jnp.arange(grid) + 0.5) / grid
+        vs = ym + (y2 - ym) * (jnp.arange(grid) + 0.5) / grid
+        vv, uu = jnp.meshgrid(vs, us, indexing="ij")       # (P, P)
+        left = _bilinear(im_left, vv, uu)                  # (P, P, 3)
+        disps = d0 + cands                                  # (C,)
+        uu_r = uu[None] - disps[:, None, None]              # (C, P, P)
+        right = _bilinear(im_right, jnp.broadcast_to(vv, uu_r.shape), uu_r)
+        err = ((right - left[None]) ** 2).sum(axis=(1, 2, 3))  # (C,)
+        best = jnp.argmin(err)
+        ok = (x2 > x1 + 2.0) & (y2 > y1 + 2.0) & (d0 > 0.5)
+        return ok, jnp.maximum(disps[best], 0.5)
+
+    return jax.vmap(per_det)(boxes, borders, init_disp)

@@ -1,0 +1,152 @@
+"""Box solver, dense alignment, and the Stereo R-CNN decode pipeline."""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from eval_driving_safety_tpu.config import StereoRCNNConfig
+from eval_driving_safety_tpu.data.kitti import Calibration
+from eval_driving_safety_tpu.inference.stereo_rcnn_predict import (
+    decode_kpts, predict_image)
+from eval_driving_safety_tpu.models.stereo_rcnn import StereoRCNNOutputs
+from eval_driving_safety_tpu.ops.box_solver import (
+    _box_corners_cam, infer_boundary, initial_state,
+    solve_x_y_theta_from_kpt, solve_x_y_z_theta_from_kpt)
+from eval_driving_safety_tpu.ops.dense_align import align_disparities
+
+
+CALIB = Calibration.default()
+
+
+def _project_gt(x, y, z, dims, theta):
+    corners = _box_corners_cam(x, y, z, dims, theta)
+    uv = CALIB.project_rect_to_image(corners)
+    uv_r = CALIB.project_rect_to_image(corners, right=True)
+    box_l = np.array([uv[:, 0].min(), uv[:, 1].min(),
+                      uv[:, 0].max(), uv[:, 1].max()])
+    box_r = np.array([uv_r[:, 0].min(), uv_r[:, 1].min(),
+                      uv_r[:, 0].max(), uv_r[:, 1].max()])
+    # keypoint: bottom corner closest to box center horizontally
+    us = uv[:4, 0]
+    kidx = int(np.argmin(np.abs(us - (box_l[0] + box_l[2]) / 2)))
+    return box_l, box_r, us[kidx], kidx
+
+
+def test_solver_recovers_gt_pose():
+    gt = (2.0, 1.65, 15.0, 0.4)
+    dims = np.array([1.5, 1.7, 4.0])
+    box_l, box_r, kpt_u, kidx = _project_gt(gt[0], gt[1], gt[2], dims, gt[3])
+    alpha = gt[3] - math.atan2(gt[0], gt[2])
+    kpts = np.array([kpt_u, kidx, 1.0, box_l[0], box_l[2]])
+    status, state = solve_x_y_z_theta_from_kpt(
+        (375, 1242), CALIB, alpha, dims, box_l, box_r, kpts)
+    assert status == 1
+    np.testing.assert_allclose(state[0], gt[0], atol=0.3)
+    np.testing.assert_allclose(state[1], gt[1], atol=0.3)
+    np.testing.assert_allclose(state[2], gt[2], atol=0.8)
+    np.testing.assert_allclose(state[3], gt[3], atol=0.15)
+
+
+def test_solver_xy_theta_with_fixed_disparity():
+    gt = (-1.5, 1.6, 12.0, -0.2)
+    dims = np.array([1.5, 1.7, 4.0])
+    box_l, box_r, kpt_u, kidx = _project_gt(*gt[:3], dims, gt[3])
+    alpha = gt[3] - math.atan2(gt[0], gt[2])
+    disp = CALIB.f_u * CALIB.baseline / gt[2]
+    kpts = np.array([kpt_u, kidx, 1.0, box_l[0], box_l[2]])
+    state, z = solve_x_y_theta_from_kpt(
+        (375, 1242), CALIB, alpha, dims, box_l, disp, kpts)
+    np.testing.assert_allclose(z, gt[2], rtol=1e-6)
+    np.testing.assert_allclose(state[0], gt[0], atol=0.4)
+    np.testing.assert_allclose(state[2], gt[3], atol=0.2)
+
+
+def test_initial_state_sane():
+    dims = np.array([1.5, 1.7, 4.0])
+    box_l, box_r, _, _ = _project_gt(1.0, 1.6, 20.0, dims, 0.0)
+    st = initial_state(CALIB, -math.atan2(1.0, 20.0), dims, box_l, box_r)
+    assert 15.0 < st[2] < 25.0
+    assert abs(st[0] - 1.0) < 1.0
+
+
+def test_infer_boundary_occlusion():
+    boxes = np.array([
+        [100.0, 50.0, 300.0, 150.0],     # occluded on its right
+        [250.0, 40.0, 400.0, 160.0],     # in front (lower bottom edge)
+    ])
+    ib = infer_boundary((375, 1242), boxes)
+    np.testing.assert_allclose(ib[0], [100.0, 250.0])   # clipped at occluder
+    np.testing.assert_allclose(ib[1], [250.0, 400.0])   # front box untouched
+
+
+def test_dense_align_recovers_shift():
+    rng = np.random.RandomState(0)
+    left = rng.rand(64, 256, 3).astype(np.float32)
+    # smooth it so bilinear interpolation is informative
+    left = (left + np.roll(left, 1, 1) + np.roll(left, 1, 0)) / 3.0
+    d_true = 6.0
+    xs = np.arange(256) + d_true          # right samples left at x + d
+    x0 = np.floor(xs).astype(int).clip(0, 255)
+    x1 = (x0 + 1).clip(0, 255)
+    f = (xs - np.floor(xs))[None, :, None]
+    right = left[:, x0] * (1 - f) + left[:, x1] * f
+    boxes = jnp.asarray([[60.0, 10.0, 140.0, 50.0]])
+    borders = jnp.asarray([[60.0, 140.0]])
+    ok, disp = align_disparities(jnp.asarray(left), jnp.asarray(right),
+                                 boxes, borders, jnp.asarray([3.0]),
+                                 num_candidates=97, sweep_px=6.0)
+    assert bool(ok[0])
+    np.testing.assert_allclose(float(disp[0]), d_true, atol=0.15)
+
+
+def test_decode_kpts_bins_to_columns():
+    boxes = np.array([[100.0, 0.0, 199.0, 50.0]])
+    g = 10
+    kp = np.zeros((1, 4 * g))
+    kp[0, 2 * g + 5] = 1.0      # type 2, bin 5
+    lb = np.zeros((1, g)); lb[0, 0] = 1.0
+    rb = np.zeros((1, g)); rb[0, 9] = 1.0
+    out = decode_kpts(boxes, kp, lb, rb, g)
+    np.testing.assert_allclose(out[0, 0], 100.0 + 5.5 * 10.0)  # bin center
+    assert out[0, 1] == 2
+    np.testing.assert_allclose(out[0, 3], 105.0)
+    np.testing.assert_allclose(out[0, 4], 195.0)
+
+
+def test_predict_image_end_to_end_synthetic():
+    """Planted model outputs decode to one exported KITTI detection."""
+    cfg = StereoRCNNConfig.tiny()
+    r = 8
+    gt = (1.0, 1.6, 14.0, 0.2)
+    dims = (1.5, 1.7, 4.0)
+    box_l, box_r, kpt_u, kidx = _project_gt(*gt[:3], np.array(dims), gt[3])
+    alpha = gt[3] - math.atan2(gt[0], gt[2])
+
+    rois_l = np.zeros((1, r, 5)); rois_l[0, :, 1:] = box_l
+    rois_r = np.zeros((1, r, 5)); rois_r[0, :, 1:] = box_r
+    cls_prob = np.zeros((1, r, 2)); cls_prob[0, 0] = [0.05, 0.95]
+    bbox_pred = np.zeros((1, r, 12))                  # zero deltas
+    do = np.zeros((1, r, 10))
+    do[0, :, 5:] = [*dims, math.sin(alpha), math.cos(alpha)]
+    g = cfg.kpts_grid
+    kpts_prob = np.zeros((1, r, 4 * g))
+    # keypoint bin for kpt_u within the roi
+    u_bin = int((kpt_u - box_l[0]) / (box_l[2] - box_l[0] + 1) * g)
+    kpts_prob[0, :, kidx * g + u_bin] = 1.0
+    lb = np.zeros((1, r, g)); lb[0, :, 0] = 1.0
+    rb = np.zeros((1, r, g)); rb[0, :, g - 1] = 1.0
+    outputs = StereoRCNNOutputs(
+        rois_left=jnp.asarray(rois_l), rois_right=jnp.asarray(rois_r),
+        roi_valid=jnp.asarray(np.eye(1, r, dtype=bool)),
+        cls_prob=jnp.asarray(cls_prob), bbox_pred=jnp.asarray(bbox_pred),
+        dim_orien_pred=jnp.asarray(do), kpts_prob=jnp.asarray(kpts_prob),
+        left_border_prob=jnp.asarray(lb), right_border_prob=jnp.asarray(rb),
+        rois_label=None, losses={})
+    dets = predict_image(outputs, None, None, CALIB, cfg,
+                         image_hw=(375, 1242), dense_align=False)
+    assert len(dets) == 1
+    d = dets[0]
+    assert d["type"] == "Car"
+    assert d["score"] > 0.9
+    np.testing.assert_allclose(d["location"][2], gt[2], atol=1.5)
+    np.testing.assert_allclose(d["rotation_y"], gt[3], atol=0.3)
