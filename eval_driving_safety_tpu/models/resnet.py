@@ -57,7 +57,10 @@ class ResNet(nn.Module):
                     use_bias=False, dtype=self.dtype, name="stem_conv")(x)
         y = FrozenBatchNorm(self.width, dtype=self.dtype, name="stem_bn")(y)
         y = nn.relu(y)
-        y = max_pool(y, 3, 2)
+        # explicit (1,1) padding matches torch MaxPool2d(3, 2, 1) alignment
+        # (SAME pads asymmetrically and shifts the grid)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
         feats = []
         for stage, n_blocks in enumerate(self.block_counts):
             features = self.width * (2 ** stage)
