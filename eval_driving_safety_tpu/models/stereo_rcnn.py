@@ -323,7 +323,7 @@ def total_attack_loss(losses: dict, uncert: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_gt_batch(objects_per_image, calib_list, cfg: StereoRCNNConfig,
-                  image_scale: float = 1.0):
+                  image_scale=1.0):
     """Host-side: build the padded gt dict from lists of KittiObjects.
 
     Stereo right boxes are derived by shifting the left box by the disparity
@@ -339,7 +339,10 @@ def make_gt_batch(objects_per_image, calib_list, cfg: StereoRCNNConfig,
     gt_dim_orien = np.zeros((bsz, g, 5), np.float32)
     gt_kpts = np.full((bsz, g, 6), -1.0, np.float32)
     num_boxes = np.zeros((bsz,), np.int32)
+    scales = (np.full((bsz,), image_scale, np.float64)
+              if np.isscalar(image_scale) else np.asarray(image_scale))
     for b, (objs, calib) in enumerate(zip(objects_per_image, calib_list)):
+        image_scale = float(scales[b])
         k = 0
         for o in objs:
             if o.type not in ("Car", "Van") or k >= g:

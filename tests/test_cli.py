@@ -1,0 +1,127 @@
+"""End-to-end CLI pipeline on a synthetic micro-KITTI dataset:
+attack -> predict/export -> convert -> plan -> collision -> eval."""
+import json
+import math
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from eval_driving_safety_tpu.data.kitti import (Calibration, KittiObject,
+                                                save_image, write_label)
+
+# PYTHONPATH=/root/repo (not the axon site dir): keeps the package
+# importable from any cwd while dropping the TPU-registering sitecustomize
+ENV = {**os.environ, "PYTHONPATH": "/root/repo", "JAX_PLATFORMS": "cpu"}
+
+
+def run_cli(module, *args, cwd=None):
+    cmd = [sys.executable, "-m", f"eval_driving_safety_tpu.cli.{module}",
+           *args]
+    r = subprocess.run(cmd, capture_output=True, text=True, env=ENV,
+                       cwd=cwd or "/root/repo", timeout=1200)
+    assert r.returncode == 0, f"{module} failed:\n{r.stdout}\n{r.stderr}"
+    return r.stdout
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    rng = np.random.RandomState(0)
+    calib = Calibration.default(f_u=200.0, c_u=160.0, c_v=48.0)
+    for d in ("image_2", "image_3", "calib", "label_2"):
+        os.makedirs(root / d)
+    for fid in ("000001", "000002"):
+        img = rng.rand(96, 320, 3).astype(np.float32)
+        save_image(str(root / "image_2" / f"{fid}.png"), img)
+        save_image(str(root / "image_3" / f"{fid}.png"), img)
+        with open(root / "calib" / f"{fid}.txt", "w") as f:
+            f.write("P2: " + " ".join(str(v) for v in calib.P2.ravel()) + "\n")
+            f.write("P3: " + " ".join(str(v) for v in calib.P3.ravel()) + "\n")
+        obj = KittiObject(
+            type="Car", truncated=0, occluded=0, alpha=0.1,
+            bbox=np.array([140.0, 40.0, 180.0, 70.0]),
+            dimensions=np.array([1.5, 1.7, 4.0]),
+            location=np.array([0.5, 1.6, 12.0]), rotation_y=math.pi / 2)
+        write_label(str(root / "label_2" / f"{fid}.txt"), [obj])
+    return root
+
+
+@pytest.mark.slow
+def test_pgd_attack_cli_dsgn(kitti_root, tmp_path):
+    out = tmp_path / "adv"
+    run_cli("pgd_attack", "--detector", "dsgn", "--tiny",
+            "--data_path", str(kitti_root), "--iter", "2",
+            "--out_prefix", str(out / "dsgn_pgd"), "--debug",
+            "--debugnum", "1")
+    for k in (0, 1, 2):
+        p = out / f"dsgn_pgd_iters_{k}" / "image_2" / "000001.png"
+        assert p.exists(), f"missing {p}"
+    # attacked image differs from clean, bounded perturbation
+    from eval_driving_safety_tpu.data.kitti import load_image
+    clean = load_image(str(out / "dsgn_pgd_iters_0/image_2/000001.png"))
+    adv = load_image(str(out / "dsgn_pgd_iters_2/image_2/000001.png"))
+    delta = np.abs(adv - clean).max()
+    assert 0 < delta <= 0.3 + 2 / 255
+
+
+@pytest.mark.slow
+def test_predict_cli_dsgn_with_ap(kitti_root, tmp_path):
+    res = tmp_path / "results"
+    out = run_cli("predict_and_save", "--detector", "dsgn", "--tiny",
+                  "--data_path", str(kitti_root),
+                  "--result_dir", str(res), "--eval_ap")
+    assert (res / "data" / "000001.txt").exists()
+    assert "AP (Car" in out
+
+
+def test_safety_cli_chain(kitti_root, tmp_path):
+    scen = tmp_path / "scenarios"
+    sol = tmp_path / "solutions"
+    run_cli("convert_scenarios", "--input_folder",
+            str(kitti_root / "label_2"), "--output_folder", str(scen))
+    assert (scen / "000001.xml").exists()
+    out = run_cli("plan_motion", "--input_folder", str(scen),
+                  "--output_folder", str(sol))
+    assert "solved 2/2" in out
+    out = run_cli("check_collision", "--check_all",
+                  "--scenario_path", str(scen) + "/",
+                  "--solution_path", str(sol) + "/", cwd=str(tmp_path))
+    assert "collision rate" in out
+    assert (tmp_path / "collision.txt").exists()
+    out = run_cli("eval", "--scenario_path", str(scen),
+                  "--solution_path", str(sol), "--json")
+    m = json.loads(out.strip().splitlines()[-1])
+    assert m["num_scenarios"] == 2 and m["num_solutions"] == 2
+    assert m["success_rate"] == 1.0
+    # plot one solution
+    png = tmp_path / "plot.png"
+    solname = os.listdir(sol)[0]
+    run_cli("plot_scenario", "--scenario_path", str(scen / "000001.xml"),
+            "--solution_path", str(sol / solname), "--output", str(png))
+    assert png.stat().st_size > 1000
+
+
+def test_gt_convert_cli(kitti_root, tmp_path):
+    labeled = tmp_path / "kitti_labeled"
+    os.makedirs(labeled / "static_label")
+    os.makedirs(labeled / "dynamic_label")
+    os.makedirs(labeled / "dynamic_annotation")
+    import shutil
+    shutil.copy(kitti_root / "label_2" / "000001.txt",
+                labeled / "static_label" / "000001.txt")
+    shutil.copy(kitti_root / "label_2" / "000002.txt",
+                labeled / "dynamic_label" / "000002.txt")
+    with open(labeled / "dynamic_annotation" / "000002.txt", "w") as f:
+        f.write("1\n")
+    out_dir = tmp_path / "gt_scen"
+    run_cli("convert_gt_scenarios", "--input_folder", str(labeled) + "/",
+            "--output_folder", str(out_dir))
+    assert (out_dir / "000001.xml").exists()
+    assert (out_dir / "000002.xml").exists()
+    from eval_driving_safety_tpu.safety.commonroad_io import read_scenario
+    sc = read_scenario(str(out_dir / "000002.xml"))
+    assert len(sc.dynamic_obstacles) == 1
+    assert len(sc.dynamic_obstacles[0].trajectory.states) == 19
