@@ -42,6 +42,10 @@ def parse_args():
                    help="depth gt .npy dir for depth error metrics (dsgn)")
     p.add_argument("--save_feat_dir", default=None,
                    help="dump intermediate activations per frame")
+    p.add_argument("--save_depth_dir", default=None,
+                   help="dump predicted depth maps as .npy (dsgn)")
+    p.add_argument("--save_lidar_dir", default=None,
+                   help="dump pseudo-lidar point clouds as .bin (dsgn)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
     return p.parse_args()
@@ -84,6 +88,16 @@ def run_dsgn(args):
         dets = decode_bev_outputs(out, cfg)
         return dets, out["depth_preds"][-1]
 
+    def infer_with_feats(il01, ir01, calib):
+        """Activation-dump variant (the reference's forward-hook tracing,
+        predict_and_save_pgd.py:134-167) — unjitted, captures every
+        submodule output."""
+        out, state = model.apply(
+            params, (il01 - mean) / std, (ir01 - mean) / std, *calib,
+            capture_intermediates=True, mutable=["intermediates"])
+        return decode_bev_outputs(out, cfg), out["depth_preds"][-1], \
+            state["intermediates"]
+
     for samples in ds.batches(args.batch):
         b = prepare_dsgn_batch(samples, cfg.input, depth_dir=args.depth_dir)
         il = jnp.asarray(b["im_left_01"])
@@ -98,16 +112,36 @@ def run_dsgn(args):
                 args.ckpt)
         calib = tuple(jnp.asarray(b[k]) for k in
                       ("f_u", "baseline", "c_u", "c_v"))
-        dets, depth_pred = infer(il, ir, calib)
+        if args.save_feat_dir:
+            dets, depth_pred, feats = infer_with_feats(il, ir, calib)
+        else:
+            dets, depth_pred = infer(il, ir, calib)
+            feats = None
         for i, fid in enumerate(b["frame_ids"]):
             row = jax.tree_util.tree_map(lambda x: x[i], dets)
             kitti = detections_to_kitti(row, b["calibs"][i],
                                         b["orig_hw"][i])
             write_detections(
                 os.path.join(args.result_dir, "data", fid + ".txt"), kitti)
-            if args.save_feat_dir:
-                np.save(os.path.join(_featdir(args, fid), "depth_pred.npy"),
-                        np.asarray(depth_pred[i]))
+            if feats is not None:
+                d = _featdir(args, fid)
+                flat = jax.tree_util.tree_flatten_with_path(feats)[0]
+                for j, (path, val) in enumerate(flat):
+                    name = "_".join(getattr(p, "key", str(p))
+                                    for p in path)[:120]
+                    np.save(os.path.join(d, f"feat{j:02d}_{name}.npy"),
+                            np.asarray(val[i] if val.ndim > 0 else val))
+            if args.save_depth_dir or args.save_lidar_dir:
+                from eval_driving_safety_tpu.inference.depth_export import (
+                    save_depth_map, save_pseudo_lidar)
+                dp = np.asarray(depth_pred[i])
+                if args.save_depth_dir:
+                    save_depth_map(
+                        os.path.join(args.save_depth_dir, fid + ".npy"), dp)
+                if args.save_lidar_dir:
+                    save_pseudo_lidar(
+                        os.path.join(args.save_lidar_dir, fid + ".bin"),
+                        dp, b["calibs"][i])
             # depth error metrics (predict_and_save_pgd.py:202-247)
             gt = b["depth_gt"][i]
             m = (gt > cfg.min_depth) & (gt <= cfg.max_depth)

@@ -154,6 +154,9 @@ class DSGNConfig:
     loss_disp: bool = True
     rpn3d_enable: bool = True
     dtype: str = "bfloat16"
+    # rematerialize the 3D hourglass in the backward pass: trades ~10%
+    # throughput for HBM headroom — enable for big volumes / large batch
+    remat: bool = False
 
     @staticmethod
     def tiny() -> "DSGNConfig":
@@ -161,6 +164,7 @@ class DSGNConfig:
             height=96, width=320, feature_channels=8, num_depth_planes=16,
             psv_channels=8, gv_channels=8, head_channels=16,
             num_voxels_x=40, num_voxels_z=36, num_voxels_y=4,
+            input=DSGNInputConfig(height=96, width=320),
         )
 
     @staticmethod
@@ -168,6 +172,7 @@ class DSGNConfig:
         return DSGNConfig(
             feature_channels=32, num_depth_planes=96,
             num_voxels_x=304, num_voxels_z=288, num_voxels_y=10,
+            remat=True,
         )
 
 

@@ -147,10 +147,11 @@ class DSGN(nn.Module):
         if self.volume_constraint is not None:
             psv = self.volume_constraint(psv)
 
-        # remat: recompute the 3D hourglass in the backward pass instead of
-        # keeping its D x H x W activations in HBM (SURVEY.md §5 long-context
-        # analogue — the cost volumes are the memory-pressure axis)
-        hourglass = nn.remat(Hourglass3D)(cfg.psv_channels, dtype=dtype)
+        # remat (optional): recompute the 3D hourglass in the backward pass
+        # instead of keeping its D x H x W activations in HBM (SURVEY.md §5
+        # long-context analogue — the cost volumes are the memory axis)
+        hg_cls = nn.remat(Hourglass3D) if cfg.remat else Hourglass3D
+        hourglass = hg_cls(cfg.psv_channels, dtype=dtype)
         s0, s1, s2 = hourglass(psv)
 
         # multi-scale depth regression: 1-channel matching score per scale

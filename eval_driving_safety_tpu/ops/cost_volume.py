@@ -48,6 +48,21 @@ def shift_along_width(feat, disp):
     return out * valid[None, :, None]
 
 
+def _tent_weights(dst_coords, src_len: int, dtype=jnp.float32):
+    """Linear-interpolation weight matrix W[i, j] = tent(src_j - coord_i),
+    zero outside [0, src_len-1] — the matmul form of a 1D lerp gather.
+
+    dst_coords: (..., N) float source coordinates for each output index.
+    Returns (..., N, src_len).
+    """
+    src = jnp.arange(src_len, dtype=dst_coords.dtype)
+    diff = src - dst_coords[..., None]                   # (..., N, src_len)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(diff))
+    valid = ((dst_coords >= 0.0)
+             & (dst_coords <= src_len - 1.0))[..., None]
+    return (w * valid).astype(dtype)
+
+
 def build_psv(feat_left, feat_right, f_u, baseline, planes, stride: int):
     """Plane-sweep volume by concatenation.
 
@@ -56,12 +71,21 @@ def build_psv(feat_left, feat_right, f_u, baseline, planes, stride: int):
     planes: (D,) plane depths in meters.
     Returns (B, D, H, W, 2C): left features tiled over D, right features
     warped by each plane's disparity (in feature pixels: f*b/z/stride).
+
+    TPU note: the warp is expressed as a per-plane (W, W) interpolation
+    matrix contracted on the MXU (gathers don't tile onto TPU hardware;
+    their backward would be a scatter). Numerically identical to the lerp
+    gather (`shift_along_width`) with zero out-of-range semantics.
     """
     d = planes.shape[0]
+    w = feat_right.shape[2]
 
     def per_image(fl, fr, fu, bl):
-        disps = fu * bl / planes / stride          # (D,)
-        warped = jax.vmap(lambda dd: shift_along_width(fr, dd))(disps)
+        disps = (fu * bl / planes / stride).astype(fl.dtype)   # (D,)
+        coords = jnp.arange(w, dtype=fl.dtype) - disps[:, None]  # (D, W)
+        wm = _tent_weights(coords, w, dtype=fl.dtype)            # (D, W, W)
+        warped = jnp.einsum("dxw,hwc->dhxc", wm, fr,
+                            preferred_element_type=fl.dtype)
         tiled = jnp.broadcast_to(fl[None], (d,) + fl.shape)
         return jnp.concatenate([tiled, warped], axis=-1)
 
@@ -124,24 +148,74 @@ def _trilinear_gather(vol, zi, yi, xi):
 
 
 def psv_to_3dgv(psv_feat, planes, calib_fu, calib_cu, calib_cv, cfg,
-                stride: int):
+                stride: int, method: str = "einsum"):
     """Resample frustum features (B, D, Hf, Wf, C) into a regular voxel grid
     (B, Z, Y, X, C) using pinhole projection per image.
 
     For voxel center (x, y, z): u = f*x/z + cu, v = f*y/z + cv (full-res
     pixels -> /stride for feature coords); depth coordinate = fractional
     plane index of z (planes uniform in depth).
+
+    TPU note (`method="einsum"`, default): because the voxel grid is
+    axis-aligned, the trilinear resample is *separable* — for a fixed
+    voxel-z slice, the plane index is a constant and u(x)/v(y) are 1D maps.
+    The whole gather therefore factors into a per-slice depth lerp plus two
+    small interpolation matmuls contracted on the MXU:
+        mid[z]  = lerp(vol[d0(z)], vol[d0(z)+1])          (static indices)
+        out[z]  = Wv(z) @ mid[z] @ Wu(z)^T                 (MXU)
+    This (and its transpose in the backward pass) replaces a gather/scatter
+    pair that does not tile onto TPU hardware. `method="gather"` keeps the
+    reference-style trilinear gather for verification.
     """
-    zs, ys, xs = voxel_centers(cfg)
-    zz, yy, xx = jnp.meshgrid(zs, ys, xs, indexing="ij")   # (Z, Y, X)
+    import numpy as np
     d = planes.shape[0]
-    z0 = planes[0]
-    dz = planes[1] - planes[0]
+    # static grids/indices in host numpy — under jit, jnp constants are
+    # tracers and can't feed static take indices
+    zs_np = np.linspace(cfg.voxel_z_min, cfg.voxel_z_max, cfg.num_voxels_z)
+    ys_np = np.linspace(cfg.voxel_y_min, cfg.voxel_y_max, cfg.num_voxels_y)
+    xs_np = np.linspace(cfg.voxel_x_min, cfg.voxel_x_max, cfg.num_voxels_x)
+    z0 = float(cfg.min_depth)
+    dz = (float(cfg.max_depth) - float(cfg.min_depth)) / (d - 1)
+
+    if method == "gather":
+        zz, yy, xx = jnp.meshgrid(jnp.asarray(zs_np), jnp.asarray(ys_np),
+                                  jnp.asarray(xs_np), indexing="ij")
+
+        def per_image_g(vol, fu, cu, cv):
+            u = (fu * xx / zz + cu) / stride
+            v = (fu * yy / zz + cv) / stride
+            di = (zz - z0) / dz
+            return _trilinear_gather(vol, di, v, u)
+
+        return jax.vmap(per_image_g)(psv_feat, calib_fu, calib_cu, calib_cv)
+
+    # --- separable einsum path -------------------------------------------
+    di = (zs_np - z0) / dz                               # static (Z,)
+    d0 = np.clip(np.floor(di).astype(np.int32), 0, d - 1)
+    d1 = np.minimum(d0 + 1, d - 1)
+    fd = jnp.asarray((di - np.floor(di)) * ((di >= 0) & (di <= d - 1)),
+                     jnp.float32)
+    in_range = jnp.asarray((di >= 0) & (di <= d - 1), jnp.float32)
+    zs = jnp.asarray(zs_np, jnp.float32)
+    ys = jnp.asarray(ys_np, jnp.float32)
+    xs = jnp.asarray(xs_np, jnp.float32)
 
     def per_image(vol, fu, cu, cv):
-        u = (fu * xx / zz + cu) / stride
-        v = (fu * yy / zz + cv) / stride
-        di = (zz - z0) / dz
-        return _trilinear_gather(vol, di, v, u)
+        dtype = vol.dtype
+        # depth lerp with STATIC plane indices (contiguous takes)
+        lo = jnp.take(vol, jnp.asarray(d0), axis=0)      # (Z, H, W, C)
+        hi = jnp.take(vol, jnp.asarray(d1), axis=0)
+        w_hi = (fd * in_range).astype(dtype)[:, None, None, None]
+        w_lo = ((1.0 - fd) * in_range).astype(dtype)[:, None, None, None]
+        mid = lo * w_lo + hi * w_hi                      # (Z, H, W, C)
+        # per-slice separable row/col interpolation matrices
+        v = (fu * ys[None, :] / zs[:, None] + cv) / stride   # (Z, Y)
+        u = (fu * xs[None, :] / zs[:, None] + cu) / stride   # (Z, X)
+        wv = _tent_weights(v, vol.shape[1], dtype=dtype)     # (Z, Y, H)
+        wu = _tent_weights(u, vol.shape[2], dtype=dtype)     # (Z, X, W)
+        rows = jnp.einsum("zyh,zhwc->zywc", wv, mid,
+                          preferred_element_type=dtype)
+        return jnp.einsum("zxw,zywc->zyxc", wu, rows,
+                          preferred_element_type=dtype)
 
     return jax.vmap(per_image)(psv_feat, calib_fu, calib_cu, calib_cv)

@@ -92,3 +92,33 @@ def test_psv_to_3dgv_shapes_and_center_hit():
     mid_z = cfg.num_voxels_z // 2
     mid_x = cfg.num_voxels_x // 2
     assert float(out[0, mid_z, cfg.num_voxels_y // 2, mid_x, 0]) > 0.5
+
+
+def test_psv_to_3dgv_einsum_matches_gather():
+    import jax
+    cfg = DSGNConfig.tiny()
+    planes = depth_planes(cfg.min_depth, cfg.max_depth, cfg.num_depth_planes)
+    hf, wf = cfg.height // 4, cfg.width // 4
+    rng = np.random.RandomState(3)
+    vol = jnp.asarray(rng.rand(2, cfg.num_depth_planes, hf, wf, 3)
+                      .astype(np.float32))
+    fu = jnp.array([650.0, 720.0])
+    cu = jnp.array([wf * 2.0, wf * 1.9])
+    cv = jnp.array([hf * 2.0, hf * 2.1])
+    a = psv_to_3dgv(vol, planes, fu, cu, cv, cfg, 4, method="gather")
+    b = psv_to_3dgv(vol, planes, fu, cu, cv, cfg, 4, method="einsum")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_build_psv_matmul_matches_lerp_gather():
+    rng = np.random.RandomState(4)
+    fl = jnp.asarray(rng.rand(1, 4, 16, 2).astype(np.float32))
+    fr = jnp.asarray(rng.rand(1, 4, 16, 2).astype(np.float32))
+    planes = depth_planes(3.0, 40.0, 8)
+    psv = build_psv(fl, fr, jnp.array([100.0]), jnp.array([0.5]), planes, 1)
+    # reference: explicit per-plane lerp gather
+    disps = 100.0 * 0.5 / planes
+    for d in range(8):
+        want = np.asarray(shift_along_width(fr[0], disps[d]))
+        np.testing.assert_allclose(np.asarray(psv[0, d, ..., 2:]), want,
+                                   atol=1e-5)
