@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from eval_driving_safety_tpu.ops import boxes as B
-from eval_driving_safety_tpu.ops.nms import nms, topk_with_mask
+from eval_driving_safety_tpu.ops.nms import nms_parallel, topk_with_mask
 
 NEG_INF = -1e10
 
@@ -50,8 +50,11 @@ def proposal_layer(cls_prob, deltas6, anchors, im_hw, *, pre_nms_top_n: int,
         top_left = left[top_idx]
         top_right = right[top_idx]
         union = B.union_boxes(top_left, top_right)
-        keep, keep_mask = nms(union, top_scores, post_nms_top_n, nms_thresh,
-                              valid=top_scores > NEG_INF / 2)
+        # parallel fixpoint NMS: greedy-equivalent, MXU matmuls instead of a
+        # post_nms_top_n-step sequential scan
+        keep, keep_mask = nms_parallel(union, top_scores, post_nms_top_n,
+                                       nms_thresh,
+                                       valid=top_scores > NEG_INF / 2)
         return top_left[keep], top_right[keep], keep_mask
 
     rois_l, rois_r, valid = jax.vmap(per_image)(cls_prob[..., 1], deltas6)

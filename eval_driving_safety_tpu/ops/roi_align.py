@@ -48,33 +48,55 @@ def _bilinear_sample(feat, ys, xs):
 
 def roi_align(feat, rois, output_size: int, spatial_scale: float,
               sampling_ratio: int = 2):
-    """ROIAlign. feat (B,H,W,C), rois (N,5) -> (N, P, P, C)."""
+    """ROIAlign. feat (B,H,W,C), rois (N,5) -> (N, P, P, C).
+
+    Implemented as ONE batched gather over (batch_idx, y, x) index arrays —
+    never materializes a per-roi copy of the feature map (a vmapped
+    `take(feat, b)` would broadcast the full map N times: 23 GB for 300
+    rois on a stride-4 FPN level).
+    """
     p = output_size
     s = sampling_ratio
+    h, w = feat.shape[1], feat.shape[2]
+    b = rois[:, 0].astype(jnp.int32)                    # (N,)
+    x1 = rois[:, 1] * spatial_scale
+    y1 = rois[:, 2] * spatial_scale
+    x2 = rois[:, 3] * spatial_scale
+    y2 = rois[:, 4] * spatial_scale
+    bin_w = jnp.maximum(x2 - x1, 1.0) / p
+    bin_h = jnp.maximum(y2 - y1, 1.0) / p
+    iy = (jnp.arange(p * s) + 0.5) / s                  # (P,) in bin units
+    ys = y1[:, None] + iy[None, :] * bin_h[:, None]     # (N, P)
+    xs = x1[:, None] + iy[None, :] * bin_w[:, None]
+    yy = ys[:, :, None]                                 # (N, P, 1)
+    xx = xs[:, None, :]                                 # (N, 1, P)
 
-    def one_roi(roi):
-        b = roi[0].astype(jnp.int32)
-        fmap = jnp.take(feat, b, axis=0)  # (H,W,C)
-        x1 = roi[1] * spatial_scale
-        y1 = roi[2] * spatial_scale
-        x2 = roi[3] * spatial_scale
-        y2 = roi[4] * spatial_scale
-        roi_w = jnp.maximum(x2 - x1, 1.0)
-        roi_h = jnp.maximum(y2 - y1, 1.0)
-        bin_w = roi_w / p
-        bin_h = roi_h / p
-        # sample grid: (p*s) points per axis
-        iy = (jnp.arange(p * s) + 0.5) / s  # in bin units
-        ys = y1 + iy * bin_h
-        xs = x1 + iy * bin_w
-        yy, xx = jnp.meshgrid(ys, xs, indexing="ij")  # (p*s, p*s)
-        vals = _bilinear_sample(fmap, yy, xx)  # (p*s, p*s, C)
-        # average-pool s x s samples per bin
-        c = vals.shape[-1]
-        vals = vals.reshape(p, s, p, s, c)
-        return vals.mean(axis=(1, 3))
+    oob = ((yy < -1.0) | (yy > h * 1.0) | (xx < -1.0) | (xx > w * 1.0))
+    yc = jnp.clip(yy, 0.0, h - 1.0)
+    xc = jnp.clip(xx, 0.0, w - 1.0)
+    y0 = jnp.floor(yc)
+    x0 = jnp.floor(xc)
+    ly = (yc - y0)
+    lx = (xc - x0)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    bi = b[:, None, None]
 
-    return jax.vmap(one_roi)(rois)
+    def g(yi, xi):
+        yi, xi = jnp.broadcast_arrays(yi, xi)
+        return feat[jnp.broadcast_to(bi, yi.shape), yi, xi]   # (N,P,P,C)
+
+    hy, hx = 1.0 - ly, 1.0 - lx
+    vals = (g(y0i, x0i) * (hy * hx)[..., None]
+            + g(y0i, x1i) * (hy * lx)[..., None]
+            + g(y1i, x0i) * (ly * hx)[..., None]
+            + g(y1i, x1i) * (ly * lx)[..., None])
+    vals = jnp.where(jnp.broadcast_to(oob, vals.shape[:3])[..., None],
+                     0.0, vals)
+    n, c = rois.shape[0], feat.shape[-1]
+    return vals.reshape(n, p, s, p, s, c).mean(axis=(2, 4))
 
 
 def roi_levels(rois, k0: float = 4.0, canonical: float = 224.0,

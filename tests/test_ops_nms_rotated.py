@@ -77,3 +77,30 @@ def test_rotated_nms_under_jit():
     )(boxes, scores)
     kept = np.asarray(keep)[np.asarray(mask)]
     assert list(kept) == [1, 2]
+
+
+def test_nms_parallel_matches_greedy():
+    import jax
+    from eval_driving_safety_tpu.ops.nms import nms, nms_parallel
+    k = jax.random.PRNGKey(3)
+    n = 300
+    ctr = jax.random.uniform(k, (n, 2)) * 300
+    wh = jax.random.uniform(jax.random.fold_in(k, 1), (n, 2)) * 60 + 5
+    boxes = jnp.concatenate([ctr, ctr + wh], axis=1)
+    scores = jax.random.uniform(jax.random.fold_in(k, 2), (n,))
+    for thresh in (0.3, 0.5, 0.7):
+        ki, km = nms(boxes, scores, 100, thresh)
+        pi, pm = nms_parallel(boxes, scores, 100, thresh)
+        kept_greedy = set(np.asarray(ki)[np.asarray(km)].tolist())
+        kept_par = set(np.asarray(pi)[np.asarray(pm)].tolist())
+        assert kept_greedy == kept_par, f"mismatch at thresh {thresh}"
+
+
+def test_nms_parallel_respects_valid_mask():
+    from eval_driving_safety_tpu.ops.nms import nms_parallel
+    boxes = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8])
+    idx, mask = nms_parallel(boxes, scores, 2, 0.5,
+                             valid=jnp.asarray([True, False]))
+    assert bool(mask[0]) and not bool(mask[1])
+    assert int(idx[0]) == 0
