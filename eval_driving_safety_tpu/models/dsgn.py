@@ -182,7 +182,12 @@ class DSGN(nn.Module):
         fl = feat(im_left.astype(dtype))
         fr = feat(im_right.astype(dtype))
 
-        psv = build_psv(fl, fr, calib_fu.astype(dtype),
+        if cfg.psv_method == "pallas":
+            from eval_driving_safety_tpu.ops.pallas_psv import \
+                build_psv_pallas as build_psv_fn
+        else:
+            build_psv_fn = build_psv
+        psv = build_psv_fn(fl, fr, calib_fu.astype(dtype),
                         calib_baseline.astype(dtype),
                         planes.astype(dtype), stride)   # (B,D,H,W,2C)
         if self.volume_constraint is not None:
