@@ -46,7 +46,20 @@ def parse_args():
                    help="default: {detector}_pgd")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model configs (CI / smoke runs)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip frames whose final-iteration outputs already "
+                        "exist (idempotent per-image outputs make sweeps "
+                        "resumable, SURVEY.md §5)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax.debug_nans for the sweep")
     return p.parse_args()
+
+
+def _already_done(prefix: str, n_iters: int, frame_ids) -> bool:
+    import os
+    return all(os.path.exists(os.path.join(
+        f"{prefix}_iters_{n_iters}", "image_2", fid + ".png"))
+        for fid in frame_ids)
 
 
 def run_dsgn(args):
@@ -86,6 +99,9 @@ def run_dsgn(args):
         return res
 
     for samples in ds.batches(args.batch):
+        if args.resume and _already_done(prefix, args.iter,
+                                         [s.frame_id for s in samples]):
+            continue
         b = prepare_dsgn_batch(samples, cfg.input, depth_dir=args.depth_dir)
         g = dsgn_boxes3d(samples)
         if params is None:
@@ -142,6 +158,9 @@ def run_srcnn(args):
 
     denorm = lambda x: srcnn_to_rgb01(x, cfg.input.pixel_means_bgr)
     for samples in ds.batches(args.batch):
+        if args.resume and _already_done(prefix, args.iter,
+                                         [s.frame_id for s in samples]):
+            continue
         b = prepare_srcnn_batch(samples, cfg.input)
         gt = make_gt_batch(b["objects"], b["calibs"], cfg,
                            image_scale=b["scales"])
@@ -165,6 +184,8 @@ def run_srcnn(args):
 
 def main():
     args = parse_args()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     (run_dsgn if args.detector == "dsgn" else run_srcnn)(args)
 
 

@@ -46,6 +46,10 @@ def parse_args():
                    help="dump predicted depth maps as .npy (dsgn)")
     p.add_argument("--save_lidar_dir", default=None,
                    help="dump pseudo-lidar point clouds as .bin (dsgn)")
+    p.add_argument("--plot", action="store_true",
+                   help="save detection panels (left+right boxes + BEV) to "
+                        "result_dir/refer/<id>.png")
+    p.add_argument("--vis_thresh", type=float, default=0.7)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
     return p.parse_args()
@@ -142,6 +146,17 @@ def run_dsgn(args):
                     save_pseudo_lidar(
                         os.path.join(args.save_lidar_dir, fid + ".bin"),
                         dp, b["calibs"][i])
+            if args.plot:
+                from eval_driving_safety_tpu.inference.depth_export import \
+                    depth_to_points
+                from eval_driving_safety_tpu.inference.vis import \
+                    save_detection_panel
+                pts = depth_to_points(np.asarray(depth_pred[i]),
+                                      b["calibs"][i], stride=4)
+                save_detection_panel(
+                    os.path.join(args.result_dir, "refer", fid + ".png"),
+                    np.asarray(il[i]), np.asarray(ir[i]), kitti,
+                    points=pts, vis_thresh=args.vis_thresh)
             # depth error metrics (predict_and_save_pgd.py:202-247)
             gt = b["depth_gt"][i]
             m = (gt > cfg.min_depth) & (gt <= cfg.max_depth)
@@ -199,6 +214,19 @@ def run_srcnn(args):
                 d["bbox"] = d["bbox"] / scale
             write_detections(
                 os.path.join(args.result_dir, "data", fid + ".txt"), dets)
+            if args.plot:
+                from eval_driving_safety_tpu.data.kitti import srcnn_to_rgb01
+                from eval_driving_safety_tpu.inference.vis import \
+                    save_detection_panel
+                dets_net_scale = [dict(d, bbox=d["bbox"] * scale)
+                                  for d in dets]
+                save_detection_panel(
+                    os.path.join(args.result_dir, "refer", fid + ".png"),
+                    srcnn_to_rgb01(np.asarray(il[i]),
+                                   cfg.input.pixel_means_bgr),
+                    srcnn_to_rgb01(np.asarray(ir[i]),
+                                   cfg.input.pixel_means_bgr),
+                    dets_net_scale, vis_thresh=args.vis_thresh)
         log(f"exported {len(samples)} frames")
     _maybe_eval_ap(args, ds, mpath)
 
