@@ -23,6 +23,13 @@ REFERENCE_ITERS_PER_SEC = 8000.0 / (24 * 3600.0)   # V100, see docstring
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace to this directory")
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
     from eval_driving_safety_tpu.config import DSGNConfig
     from eval_driving_safety_tpu.models.dsgn import DSGN
     from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
@@ -58,12 +65,20 @@ def main():
     al, ar, loss = pgd_iter(im_l, im_r)
     al.block_until_ready()
 
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        al, ar, loss = pgd_iter(al, ar)
-    al.block_until_ready()
-    dt = time.perf_counter() - t0
+    n_iters = args.iters
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                al, ar, loss = pgd_iter(al, ar)
+            al.block_until_ready()
+            dt = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            al, ar, loss = pgd_iter(al, ar)
+        al.block_until_ready()
+        dt = time.perf_counter() - t0
 
     iters_per_sec = n_iters * batch / dt
     print(json.dumps({

@@ -52,6 +52,11 @@ def parse_args():
                         "resumable, SURVEY.md §5)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax.debug_nans for the sweep")
+    p.add_argument("--objective", default="total",
+                   choices=("total", "depth_divergence", "depth_shift"),
+                   help="dsgn attack objective (attack.objectives; "
+                        "'total' = reference behavior)")
+    p.add_argument("--depth_shift_m", type=float, default=10.0)
     return p.parse_args()
 
 
@@ -87,11 +92,14 @@ def run_dsgn(args):
         clean_r = batch_norm_r * std + mean
 
         def loss_fn(il01, ir01):
+            from eval_driving_safety_tpu.attack import objectives as O
             out = model.apply(params, (il01 - mean) / std,
                               (ir01 - mean) / std, *calib)
-            total, _ = dsgn_total_loss(out, depth_gt, boxes3d, num_boxes,
-                                       cfg)
-            return total
+            if args.objective == "depth_divergence":
+                return O.depth_divergence(out, depth_gt, cfg)
+            if args.objective == "depth_shift":
+                return O.depth_shift(out, depth_gt, args.depth_shift_m, cfg)
+            return O.total_loss(out, depth_gt, boxes3d, num_boxes, cfg)
 
         res = pgd_attack(loss_fn, clean_l, clean_r, num_iters=args.iter,
                          alpha=alpha, eps=eps, clip_min=0.0, clip_max=1.0,
