@@ -128,3 +128,65 @@ def merge_into(params_tree: Dict, subtree: Dict, path: Tuple[str, ...]):
         node = node[p]
     node[path[-1]] = subtree
     return out
+
+
+def convert_stereo_rcnn_checkpoint(sd: Dict[str, np.ndarray],
+                                   num_anchors: int = 3) -> Dict[str, Any]:
+    """Map the published Stereo R-CNN checkpoint's backbone + FPN + RPN onto
+    this framework's StereoRCNN module tree.
+
+    Upstream naming (HKUST Stereo-RCNN resnet.py / stereo_rpn.py, loaded at
+    /root/reference/attack/Stereo-RCNN/pgd_attack.py:94-97):
+      RCNN_layer0.{0,1} = stem conv/bn; RCNN_layer{1..4}.{b} = bottlenecks;
+      RCNN_toplayer / RCNN_latlayer{1,2,3} / RCNN_smooth{1,2,3} = FPN;
+      RCNN_rpn.RPN_Conv / RPN_cls_score / RPN_bbox_pred_left_right = RPN.
+
+    RPN cls channels are reordered from upstream's class-major (bg*A, fg*A)
+    layout to this framework's anchor-major (A, 2) layout.
+
+    The per-roi heads (RCNN_top, bbox/dim_orien/kpts) are a TPU-first
+    redesign here and are NOT mapped — returns a partial params dict
+    {"backbone": ..., "fpn": ..., "rpn": ...} to graft into a model.init
+    tree; the heads keep their initialization (fine-tune or retrain).
+    """
+    backbone: Dict[str, Any] = {
+        "stem_conv": {"kernel": conv_kernel(sd["RCNN_layer0.0.weight"])},
+        "stem_bn": bn_params(sd, "RCNN_layer0.1"),
+    }
+    stage = 1
+    while f"RCNN_layer{stage}.0.conv1.weight" in sd:
+        b = 0
+        while f"RCNN_layer{stage}.{b}.conv1.weight" in sd:
+            backbone[f"layer{stage}_block{b}"] = convert_bottleneck(
+                sd, f"RCNN_layer{stage}.{b}.")
+            b += 1
+        stage += 1
+
+    def conv_wb(name):
+        return {"kernel": conv_kernel(sd[f"{name}.weight"]),
+                "bias": sd[f"{name}.bias"]}
+
+    fpn = {
+        "toplayer": conv_wb("RCNN_toplayer"),
+        "latlayer1": conv_wb("RCNN_latlayer1"),
+        "latlayer2": conv_wb("RCNN_latlayer2"),
+        "latlayer3": conv_wb("RCNN_latlayer3"),
+        "smooth1": conv_wb("RCNN_smooth1"),
+        "smooth2": conv_wb("RCNN_smooth2"),
+        "smooth3": conv_wb("RCNN_smooth3"),
+    }
+
+    cls_k = conv_kernel(sd["RCNN_rpn.RPN_cls_score.weight"])
+    cls_b = sd["RCNN_rpn.RPN_cls_score.bias"]
+    # upstream channel c = class*A + anchor -> ours anchor*2 + class
+    perm = [k * num_anchors + a             # upstream index
+            for a in range(num_anchors) for k in range(2)]
+    inv = np.empty(len(perm), np.int64)
+    for ours_idx, theirs_idx in enumerate(perm):
+        inv[ours_idx] = theirs_idx
+    rpn = {
+        "rpn_conv": conv_wb("RCNN_rpn.RPN_Conv"),
+        "rpn_cls": {"kernel": cls_k[..., inv], "bias": cls_b[inv]},
+        "rpn_box": conv_wb("RCNN_rpn.RPN_bbox_pred_left_right"),
+    }
+    return {"backbone": backbone, "fpn": fpn, "rpn": rpn}

@@ -143,3 +143,75 @@ def test_dense_kernel_and_state_dict_loader(tmp_path):
     sd, uncert = load_torch_state_dict(path)
     assert set(sd) == {"weight", "bias"}
     np.testing.assert_allclose(uncert, np.arange(6, dtype=np.float32))
+
+
+def test_stereo_rcnn_checkpoint_conversion_shapes():
+    """Synthetic upstream-shaped state dict maps onto the flax tree and the
+    resulting params run a forward pass."""
+    from eval_driving_safety_tpu.config import StereoRCNNConfig
+    from eval_driving_safety_tpu.models.stereo_rcnn import StereoRCNN
+    from eval_driving_safety_tpu.utils.torch_import import \
+        convert_stereo_rcnn_checkpoint
+
+    cfg = StereoRCNNConfig.tiny()
+    wid = cfg.backbone_width
+    rng = np.random.RandomState(0)
+
+    def t(*shape):
+        return rng.rand(*shape).astype(np.float32) * 0.1
+
+    sd = {"RCNN_layer0.0.weight": t(wid, 3, 7, 7)}
+    for suf, n in (("weight", wid), ("bias", wid), ("running_mean", wid),
+                   ("running_var", wid)):
+        sd[f"RCNN_layer0.1.{suf}"] = t(n) + (1.0 if "var" in suf else 0.0)
+    cin = wid
+    for stage, blocks in enumerate(cfg.backbone_blocks, start=1):
+        width = wid * (2 ** (stage - 1))
+        cout = width * 4
+        for b in range(blocks):
+            pre = f"RCNN_layer{stage}.{b}."
+            sd[pre + "conv1.weight"] = t(width, cin, 1, 1)
+            sd[pre + "conv2.weight"] = t(width, width, 3, 3)
+            sd[pre + "conv3.weight"] = t(cout, width, 1, 1)
+            for i, ch in ((1, width), (2, width), (3, cout)):
+                for suf in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{pre}bn{i}.{suf}"] = \
+                        t(ch) + (1.0 if "var" in suf else 0.0)
+            if b == 0:
+                sd[pre + "downsample.0.weight"] = t(cout, cin, 1, 1)
+                for suf in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{pre}downsample.1.{suf}"] = \
+                        t(cout) + (1.0 if "var" in suf else 0.0)
+            cin = cout
+    ch = cfg.fpn_channels
+    c5 = wid * 8 * 4
+    for name, cin_, k in (("RCNN_toplayer", c5, 1),
+                          ("RCNN_latlayer1", c5 // 2, 1),
+                          ("RCNN_latlayer2", c5 // 4, 1),
+                          ("RCNN_latlayer3", c5 // 8, 1),
+                          ("RCNN_smooth1", ch, 3), ("RCNN_smooth2", ch, 3),
+                          ("RCNN_smooth3", ch, 3)):
+        sd[name + ".weight"] = t(ch, cin_, k, k)
+        sd[name + ".bias"] = t(ch)
+    sd["RCNN_rpn.RPN_Conv.weight"] = t(512, ch, 3, 3)
+    sd["RCNN_rpn.RPN_Conv.bias"] = t(512)
+    sd["RCNN_rpn.RPN_cls_score.weight"] = t(6, 1024, 1, 1)
+    sd["RCNN_rpn.RPN_cls_score.bias"] = t(6)
+    sd["RCNN_rpn.RPN_bbox_pred_left_right.weight"] = t(18, 1024, 1, 1)
+    sd["RCNN_rpn.RPN_bbox_pred_left_right.bias"] = t(18)
+
+    converted = convert_stereo_rcnn_checkpoint(sd)
+    model = StereoRCNN(cfg)
+    h, w = cfg.input.height, cfg.input.width
+    x = jnp.zeros((1, h, w, 3))
+    params = model.init(jax.random.PRNGKey(0), x, x, mode="infer")
+    import flax
+    tree = flax.core.unfreeze(params) if hasattr(params, "unfreeze") \
+        else dict(params)
+    for mod in ("backbone", "fpn", "rpn"):
+        want = jax.tree_util.tree_map(np.shape, tree["params"][mod])
+        got = jax.tree_util.tree_map(np.shape, converted[mod])
+        assert want == got, f"{mod} tree mismatch"
+        tree["params"][mod] = converted[mod]
+    out = model.apply(tree, x, x, mode="infer")
+    assert np.isfinite(np.asarray(out.cls_prob)).all()
