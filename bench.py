@@ -49,17 +49,21 @@ def main():
     num_boxes = jnp.ones((batch,), jnp.int32)
     depth_gt = jnp.full((batch, h, w), 20.0)
 
-    def loss_fn(il, ir):
-        out = model.apply(params, il, ir, *calib)
+    def loss_fn(p, il, ir):
+        out = model.apply(p, il, ir, *calib)
         total, _ = dsgn_total_loss(out, depth_gt, boxes, num_boxes, cfg)
         return total
 
     @jax.jit
-    def pgd_iter(il, ir):
-        loss, (gl, gr) = jax.value_and_grad(loss_fn, argnums=(0, 1))(il, ir)
+    def pgd_iter_p(p, il, ir):
+        loss, (gl, gr) = jax.value_and_grad(
+            loss_fn, argnums=(1, 2))(p, il, ir)
         alpha = 1.0 / 255.0
         return (jnp.clip(il + alpha * jnp.sign(gl), 0.0, 1.0),
                 jnp.clip(ir + alpha * jnp.sign(gr), 0.0, 1.0), loss)
+
+    def pgd_iter(il, ir):
+        return pgd_iter_p(params, il, ir)
 
     # warmup/compile
     al, ar, loss = pgd_iter(im_l, im_r)

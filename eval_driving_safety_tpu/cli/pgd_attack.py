@@ -84,8 +84,11 @@ def run_dsgn(args):
     mean, std = np.asarray(cfg.input.mean), np.asarray(cfg.input.std)
     params = None
 
+    # params passed as an argument: closing over concrete weights would
+    # bake them into the compiled program as constants (and overflow the
+    # remote compiler's request limit at full model size)
     @jax.jit
-    def attack(batch_norm_l, batch_norm_r, calib, depth_gt, boxes3d,
+    def attack(params, batch_norm_l, batch_norm_r, calib, depth_gt, boxes3d,
                num_boxes):
         # attack space = [0,1] RGB; the loss normalizes internally
         clean_l = batch_norm_l * std + mean
@@ -121,7 +124,8 @@ def run_dsgn(args):
                 args.ckpt)
         calib = tuple(jnp.asarray(b[k]) for k in
                       ("f_u", "baseline", "c_u", "c_v"))
-        res = attack(jnp.asarray(b["im_left"]), jnp.asarray(b["im_right"]),
+        res = attack(params, jnp.asarray(b["im_left"]),
+                     jnp.asarray(b["im_right"]),
                      calib, jnp.asarray(b["depth_gt"]),
                      jnp.asarray(g["boxes3d"]), jnp.asarray(g["num_boxes"]))
         ident = lambda x: x
@@ -155,7 +159,7 @@ def run_srcnn(args):
     rng = jax.random.PRNGKey(11)
 
     @jax.jit
-    def attack(clean_l, clean_r, gt):
+    def attack(params, clean_l, clean_r, gt):
         def loss_fn(il, ir):
             out = model.apply(params, il, ir, gt=gt, rng=rng, mode="attack")
             return total_attack_loss(out.losses, uncert)
@@ -178,8 +182,8 @@ def run_srcnn(args):
                 jnp.asarray(b["im_right"][:1]),
                 gt=jax.tree_util.tree_map(lambda x: x[:1], gt), rng=rng,
                 mode="attack"), args.ckpt)
-        res = attack(jnp.asarray(b["im_left"]), jnp.asarray(b["im_right"]),
-                     gt)
+        res = attack(params, jnp.asarray(b["im_left"]),
+                     jnp.asarray(b["im_right"]), gt)
         save_attacked_images(b, b["im_left"], b["im_right"],
                              f"{prefix}_iters_0", denorm)
         for k in range(args.iter):

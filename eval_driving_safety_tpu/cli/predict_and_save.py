@@ -86,7 +86,7 @@ def run_dsgn(args):
     depth_errs = []
 
     @jax.jit
-    def infer(il01, ir01, calib):
+    def infer(params, il01, ir01, calib):
         out = model.apply(params, (il01 - mean) / std, (ir01 - mean) / std,
                           *calib)
         dets = decode_bev_outputs(out, cfg)
@@ -119,7 +119,7 @@ def run_dsgn(args):
         if args.save_feat_dir:
             dets, depth_pred, feats = infer_with_feats(il, ir, calib)
         else:
-            dets, depth_pred = infer(il, ir, calib)
+            dets, depth_pred = infer(params, il, ir, calib)
             feats = None
         for i, fid in enumerate(b["frame_ids"]):
             row = jax.tree_util.tree_map(lambda x: x[i], dets)
@@ -188,7 +188,7 @@ def run_srcnn(args):
     mpath = metrics_path(args.result_dir)
 
     @jax.jit
-    def infer(il, ir):
+    def infer(params, il, ir):
         return model.apply(params, il, ir, mode="infer")
 
     for samples in ds.batches(args.batch):
@@ -201,7 +201,7 @@ def run_srcnn(args):
             params = load_params(model, lambda: model.init(
                 jax.random.PRNGKey(0), il[:1], ir[:1], mode="infer"),
                 args.ckpt)
-        out = infer(il, ir)
+        out = infer(params, il, ir)
         for i, fid in enumerate(b["frame_ids"]):
             dets = predict_image(out, np.asarray(il[i]), np.asarray(ir[i]),
                                  b["calibs"][i], cfg,

@@ -171,6 +171,16 @@ class StereoRCNN(nn.Module):
         from eval_driving_safety_tpu.models.resnet import ResNet
         self.backbone = ResNet(block_counts=self.cfg.backbone_blocks,
                                width=self.cfg.backbone_width)
+        # anchors as a flax variable: the ~190k x 4 table is a *runtime
+        # argument*, not a constant baked into the compiled program (the
+        # inlined MLIR blew past the remote compiler's request limit)
+        shapes = fpn_feat_shapes(self.cfg.input.height, self.cfg.input.width,
+                                 self.cfg.feat_strides)
+        anc = pyramid_anchors(shapes, tuple(self.cfg.feat_strides),
+                              tuple(self.cfg.anchor_scales),
+                              tuple(self.cfg.anchor_ratios))
+        self.anchor_table = self.variable("constants", "anchors",
+                                          lambda: jnp.asarray(anc))
         self.fpn = FPN(out_channels=self.cfg.fpn_channels)
         self.rpn = StereoRPNHead(num_anchors=len(self.cfg.anchor_ratios))
         self.rcnn = RCNNHead(num_classes=self.cfg.num_classes)
@@ -184,11 +194,10 @@ class StereoRCNN(nn.Module):
         return pl, pr
 
     def _anchors(self, height, width):
-        shapes = fpn_feat_shapes(height, width, self.cfg.feat_strides)
-        anc = pyramid_anchors(shapes, tuple(self.cfg.feat_strides),
-                              tuple(self.cfg.anchor_scales),
-                              tuple(self.cfg.anchor_ratios))
-        return jnp.asarray(anc)
+        assert (height, width) == (self.cfg.input.height,
+                                   self.cfg.input.width), \
+            "images must be padded to cfg.input (static anchor table)"
+        return self.anchor_table.value
 
     def __call__(self, im_left, im_right, gt=None, rng=None,
                  mode: str = "attack"):
