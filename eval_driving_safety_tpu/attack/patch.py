@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 from functools import lru_cache
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

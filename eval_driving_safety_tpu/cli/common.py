@@ -8,8 +8,6 @@ import sys
 import time
 from typing import Optional
 
-import jax
-
 
 def add_dataset_args(p: argparse.ArgumentParser):
     p.add_argument("--data_path", required=True,

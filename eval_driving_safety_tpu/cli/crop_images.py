@@ -10,8 +10,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
-
 from eval_driving_safety_tpu.cli.common import log
 from eval_driving_safety_tpu.data.kitti import (load_image, read_label,
                                                 save_image)

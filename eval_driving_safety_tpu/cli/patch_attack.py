@@ -13,7 +13,6 @@ batch-sharded mesh instead of accumulated image-by-image.
 from __future__ import annotations
 
 import argparse
-import math
 import os
 
 import jax

@@ -23,8 +23,7 @@ import numpy as np
 
 from eval_driving_safety_tpu.cli.common import (add_dataset_args, log,
                                                 load_params, make_dataset)
-from eval_driving_safety_tpu.config import (DSGNConfig, PGDConfig,
-                                            StereoRCNNConfig)
+from eval_driving_safety_tpu.config import DSGNConfig, StereoRCNNConfig
 
 
 def parse_args():
@@ -71,9 +70,7 @@ def run_dsgn(args):
     from eval_driving_safety_tpu.attack.pgd import pgd_attack
     from eval_driving_safety_tpu.data.dataset import (
         dsgn_boxes3d, prepare_dsgn_batch, save_attacked_images)
-    from eval_driving_safety_tpu.data.kitti import denormalize_imagenet
     from eval_driving_safety_tpu.models.dsgn import DSGN
-    from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
 
     cfg = DSGNConfig.tiny() if args.tiny else DSGNConfig()
     model = DSGN(cfg)

@@ -10,7 +10,6 @@ float32 .bin with reflectance 1).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

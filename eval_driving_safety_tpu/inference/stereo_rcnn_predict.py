@@ -15,7 +15,7 @@ The reference bug `im2show_left` used-before-assignment
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax.numpy as jnp
 import numpy as np

@@ -8,7 +8,6 @@ concatenated into `refer/<id>.png`) and the DSGN visualization hooks.
 from __future__ import annotations
 
 import math
-import os
 from typing import Optional, Sequence
 
 import numpy as np

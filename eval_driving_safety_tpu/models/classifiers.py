@@ -17,7 +17,7 @@ LR ladders, and batched jitted accuracy evaluation.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -1,7 +1,7 @@
 """Shared NN building blocks (Flax linen, NHWC, TPU-friendly dtypes)."""
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

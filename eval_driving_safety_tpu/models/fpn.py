@@ -7,8 +7,6 @@ p6 = stride-2 max-pool of p5.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -11,12 +11,12 @@ BN is frozen (inference affine) — see models.common.FrozenBatchNorm.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
-from eval_driving_safety_tpu.models.common import FrozenBatchNorm, conv, max_pool
+from eval_driving_safety_tpu.models.common import FrozenBatchNorm, conv
 
 
 class Bottleneck(nn.Module):

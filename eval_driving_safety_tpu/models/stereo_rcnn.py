@@ -32,9 +32,7 @@ from flax import linen as nn
 from eval_driving_safety_tpu.config import StereoRCNNConfig
 from eval_driving_safety_tpu.models.common import upsample_bilinear
 from eval_driving_safety_tpu.models.fpn import FPN
-from eval_driving_safety_tpu.models.resnet import resnet101
 from eval_driving_safety_tpu.models.stereo_targets import (
-    Proposals,
     anchor_target_layer,
     proposal_layer,
     proposal_target_layer,

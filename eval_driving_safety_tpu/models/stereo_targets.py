@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from eval_driving_safety_tpu.ops import boxes as B
-from eval_driving_safety_tpu.ops.nms import nms_parallel, topk_with_mask
+from eval_driving_safety_tpu.ops.nms import nms_parallel
 
 NEG_INF = -1e10
 

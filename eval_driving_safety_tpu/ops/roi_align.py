@@ -13,37 +13,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
-
-
-def _bilinear_sample(feat, ys, xs):
-    """Sample (H,W,C) at float coords; torchvision ROIAlign border semantics.
-
-    Points with y < -1 or y > H (resp. x) produce 0; in-range coords are
-    clamped to the valid grid.
-    """
-    h, w = feat.shape[0], feat.shape[1]
-    oob = (ys < -1.0) | (ys > h * 1.0) | (xs < -1.0) | (xs > w * 1.0)
-    ys = jnp.clip(ys, 0.0, h - 1.0)
-    xs = jnp.clip(xs, 0.0, w - 1.0)
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    y1 = jnp.minimum(y0 + 1.0, h - 1.0)
-    x1 = jnp.minimum(x0 + 1.0, w - 1.0)
-    ly = ys - y0
-    lx = xs - x0
-    hy = 1.0 - ly
-    hx = 1.0 - lx
-    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
-    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
-    v00 = feat[y0i, x0i]
-    v01 = feat[y0i, x1i]
-    v10 = feat[y1i, x0i]
-    v11 = feat[y1i, x1i]
-    out = (v00 * (hy * hx)[..., None] + v01 * (hy * lx)[..., None]
-           + v10 * (ly * hx)[..., None] + v11 * (ly * lx)[..., None])
-    return jnp.where(oob[..., None], 0.0, out)
 
 
 def roi_align(feat, rois, output_size: int, spatial_scale: float,

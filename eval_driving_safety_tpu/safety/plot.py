@@ -7,8 +7,6 @@ solutions) the ego trajectory to PNG.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import numpy as np
 
 
