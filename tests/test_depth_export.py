@@ -36,3 +36,24 @@ def test_pseudo_lidar_roundtrip(tmp_path):
     np.testing.assert_allclose(back, cloud)
     assert back.shape == (32 * 64, 4)
     np.testing.assert_allclose(back[:, 3], 1.0)
+
+
+def test_velodyne_to_depth_map_roundtrip():
+    """Project synthetic camera-frame points (identity extrinsics) and
+    recover their depths at the right pixels."""
+    from eval_driving_safety_tpu.cli.make_depth_gt import velodyne_to_depth_map
+    calib = Calibration.default(f_u=100.0, c_u=100.0, c_v=50.0)
+    # pure pinhole (no stereo x-offset) so same-ray points share a pixel
+    calib.P2 = np.array([[100.0, 0, 100.0, 0],
+                         [0, 100.0, 50.0, 0],
+                         [0, 0, 1.0, 0]])
+    calib.Tr_velo_to_cam = None   # points already in camera frame
+    pts = np.array([
+        [0.0, 0.0, 10.0, 1.0],    # principal point, depth 10
+        [2.0, 0.0, 10.0, 1.0],    # u = 100 + 100*2/10 = 120
+        [0.0, 0.0, 5.0, 1.0],     # same pixel as first but CLOSER
+    ], np.float32)
+    depth = velodyne_to_depth_map(pts, calib, 100, 200)
+    assert abs(depth[50, 100] - 5.0) < 1e-5   # nearest return won
+    assert abs(depth[50, 120] - 10.0) < 1e-5
+    assert (depth > 0).sum() == 2
