@@ -99,9 +99,11 @@ def anchor_target_layer(anchors, gt_left, gt_right, gt_merge, num_boxes,
         max_iou = iou.max(axis=1)
         argmax_gt = iou.argmax(axis=1)
         # anchors that are the best for some gt are positive too
-        best_per_gt = jnp.where(gt_valid, iou.argmax(axis=0), -1)
+        # (invalid gts scatter to index n, dropped — a -1 index would WRAP
+        # to the last anchor)
+        best_per_gt = jnp.where(gt_valid, iou.argmax(axis=0), n)
         is_best = jnp.zeros((n,), bool).at[best_per_gt].set(
-            gt_valid, mode="drop")
+            True, mode="drop")
         labels = jnp.full((n,), -1, jnp.int32)
         labels = jnp.where(max_iou < negative_overlap, 0, labels)
         labels = jnp.where(is_best | (max_iou >= positive_overlap), 1, labels)
