@@ -82,18 +82,18 @@ def main():
         std = np.asarray(cfg.input.std, np.float32)
         params = None
 
-        def make_loss(b, boxes3d, num_boxes):
-            calib = tuple(jnp.asarray(b[k]) for k in
-                          ("f_u", "baseline", "c_u", "c_v"))
-            depth = jnp.asarray(b["depth_gt"])
-
+        # one compiled step for the whole sweep (params/batch as arguments)
+        @jax.jit
+        def dsgn_step(params, patch, il, ir, cl, cr, calib, depth, boxes3d,
+                      num_boxes):
             def loss_fn(il01, ir01):
                 out = model.apply(params, (il01 - mean) / std,
                                   (ir01 - mean) / std, *calib)
                 total, _ = dsgn_total_loss(out, depth, boxes3d, num_boxes,
                                            cfg)
                 return total
-            return loss_fn
+            return patch_update_step(loss_fn, patch, il, ir, cl, cr,
+                                     alpha=args.alpha, eps=eps)
     else:
         from eval_driving_safety_tpu.data.dataset import (
             prepare_srcnn_batch, srcnn_clip_bounds)
@@ -105,18 +105,39 @@ def main():
         uncert = jnp.zeros((6,))
         params = None
         srng = jax.random.PRNGKey(17)
+        pix_min, pix_max = srcnn_clip_bounds(cfg.input)
+
+        @jax.jit
+        def srcnn_step(params, patch, il, ir, cl, cr, gt):
+            def loss_fn(l, r):
+                out = model.apply(params, l, r, gt=gt, rng=srng,
+                                  mode="attack")
+                return total_attack_loss(out.losses, uncert)
+            return patch_update_step(loss_fn, patch, il, ir, cl, cr,
+                                     alpha=args.alpha, eps=eps,
+                                     pixel_min=pix_min, pixel_max=pix_max)
 
     dim, radius, patch = init_patch(short, ratio, save_dir)
     log(f"patch dim {dim} (radius {radius}); save_dir {save_dir}")
 
     for epoch in range(epochs):
         epoch_losses = []
-        for samples in ds.batches(args.batch):
+        for samples in ds.batches(args.batch, drop_remainder=True):
             bkey = jax.random.fold_in(rng, epoch * 100003 + len(epoch_losses))
             if is_dsgn:
                 b = prepare_dsgn_batch(samples, cfg.input)
                 imgs_l = jnp.asarray(b["im_left_01"])
                 imgs_r = jnp.asarray(b["im_right_01"])
+            else:
+                b = prepare_srcnn_batch(samples, cfg.input)
+                imgs_l = jnp.asarray(b["im_left"])
+                imgs_r = jnp.asarray(b["im_right"])
+            h, w = imgs_l.shape[1:3]
+            centers_l, centers_r = sample_patch_centers(
+                bkey, imgs_l.shape[0], h, w, radius,
+                row_band=pcfg.row_band, col_band=pcfg.col_band,
+                disparity_shift=pcfg.disparity_shift)
+            if is_dsgn:
                 boxes3d, num_boxes = ghost_car_targets(len(samples), pcfg)
                 if params is None:
                     params = load_params(model, lambda: model.init(
@@ -125,35 +146,25 @@ def main():
                         jnp.asarray(b["baseline"][:1]),
                         jnp.asarray(b["c_u"][:1]),
                         jnp.asarray(b["c_v"][:1])), args.ckpt)
-                loss_fn = make_loss(b, boxes3d, num_boxes)
-                pix_min, pix_max = None, None
+                calib = tuple(jnp.asarray(b[k]) for k in
+                              ("f_u", "baseline", "c_u", "c_v"))
+                step = lambda p: dsgn_step(
+                    params, p, imgs_l, imgs_r, centers_l, centers_r,
+                    calib, jnp.asarray(b["depth_gt"]), boxes3d, num_boxes)
             else:
-                b = prepare_srcnn_batch(samples, cfg.input)
-                imgs_l = jnp.asarray(b["im_left"])
-                imgs_r = jnp.asarray(b["im_right"])
-                gt = _srcnn_patch_targets(b, cfg, dim, radius, bkey)
+                # targets use THE SAME sampled centers as the composite —
+                # the patch's own box is the only gt object
+                gt = _srcnn_patch_targets(b, cfg, radius, centers_l,
+                                          centers_r)
                 if params is None:
                     params = load_params(model, lambda: model.init(
                         jax.random.PRNGKey(0), imgs_l[:1], imgs_r[:1],
                         gt=jax.tree_util.tree_map(lambda x: x[:1], gt),
                         rng=srng, mode="attack"), args.ckpt)
-
-                def loss_fn(il, ir, gt=gt):
-                    out = model.apply(params, il, ir, gt=gt, rng=srng,
-                                      mode="attack")
-                    return total_attack_loss(out.losses, uncert)
-                pix_min, pix_max = srcnn_clip_bounds(cfg.input)
-
-            h, w = imgs_l.shape[1:3]
-            centers_l, centers_r = sample_patch_centers(
-                bkey, imgs_l.shape[0], h, w, radius,
-                row_band=pcfg.row_band, col_band=pcfg.col_band,
-                disparity_shift=pcfg.disparity_shift)
+                step = lambda p: srcnn_step(params, p, imgs_l, imgs_r,
+                                            centers_l, centers_r, gt)
             for _ in range(args.iters):
-                patch, loss = patch_update_step(
-                    loss_fn, patch, imgs_l, imgs_r, centers_l, centers_r,
-                    alpha=args.alpha, eps=eps,
-                    pixel_min=pix_min, pixel_max=pix_max)
+                patch, loss = step(patch)
             epoch_losses.append(float(loss))
         log(f"epoch {epoch + 1}/{epochs}: avg loss "
             f"{np.mean(epoch_losses):.4f}")
@@ -161,12 +172,11 @@ def main():
                    patch)
 
 
-def _srcnn_patch_targets(b, cfg, dim, radius, key):
+def _srcnn_patch_targets(b, cfg, radius, cl, cr):
     """SRCNN targeted override: the patch's own box is the only gt object
-    (Stereo-RCNN/patch_attack.py:187-217). Uses the sampled left center."""
-    from eval_driving_safety_tpu.attack.patch import sample_patch_centers
-    bsz, h, w = len(b["frame_ids"]), cfg.input.height, cfg.input.width
-    cl, cr = sample_patch_centers(key, bsz, h, w, radius)
+    (Stereo-RCNN/patch_attack.py:187-217), placed at the SAME centers the
+    composite uses."""
+    bsz = len(b["frame_ids"])
     g = cfg.max_gt_boxes
     gl = np.zeros((bsz, g, 5), np.float32)
     gr = np.zeros((bsz, g, 5), np.float32)

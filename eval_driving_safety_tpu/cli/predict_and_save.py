@@ -203,15 +203,11 @@ def run_srcnn(args):
                 args.ckpt)
         out = infer(params, il, ir)
         for i, fid in enumerate(b["frame_ids"]):
+            scale = float(b["scales"][i])
             dets = predict_image(out, np.asarray(il[i]), np.asarray(ir[i]),
                                  b["calibs"][i], cfg,
-                                 image_hw=(cfg.input.height,
-                                           cfg.input.width),
-                                 batch_index=i)
-            # decode happened at network scale; map boxes back to original
-            scale = float(b["scales"][i])
-            for d in dets:
-                d["bbox"] = d["bbox"] / scale
+                                 image_hw=b["orig_hw"][i],
+                                 batch_index=i, image_scale=scale)
             write_detections(
                 os.path.join(args.result_dir, "data", fid + ".txt"), dets)
             if args.plot:
@@ -219,7 +215,7 @@ def run_srcnn(args):
                 from eval_driving_safety_tpu.inference.vis import \
                     save_detection_panel
                 dets_net_scale = [dict(d, bbox=d["bbox"] * scale)
-                                  for d in dets]
+                                  for d in dets]  # panel is network-scale
                 save_detection_panel(
                     os.path.join(args.result_dir, "refer", fid + ".png"),
                     srcnn_to_rgb01(np.asarray(il[i]),

@@ -169,6 +169,7 @@ def prepare_srcnn_batch(samples: Sequence[KittiSample],
     il = np.zeros((b, h, w, 3), np.float32)
     ir = np.zeros((b, h, w, 3), np.float32)
     scales = np.zeros((b,), np.float32)
+    net_hw = []
     for i, s in enumerate(samples):
         oh, ow = s.orig_hw
         scale = h / oh
@@ -185,10 +186,12 @@ def prepare_srcnn_batch(samples: Sequence[KittiSample],
         il[i, :, nw:] = -np.asarray(cfg.pixel_means_bgr, np.float32)
         ir[i, :, nw:] = -np.asarray(cfg.pixel_means_bgr, np.float32)
         scales[i] = scale
+        net_hw.append((h, nw))
     return {
         "im_left": il, "im_right": ir, "scales": scales,
         "frame_ids": [s.frame_id for s in samples],
         "orig_hw": [s.orig_hw for s in samples],
+        "net_hw": net_hw,
         "calibs": [s.calib for s in samples],
         "objects": [s.objects for s in samples],
     }
@@ -204,12 +207,16 @@ def srcnn_clip_bounds(cfg: SRCNNInputConfig):
 def save_attacked_images(batch: Dict, adv_left, adv_right, out_dir: str,
                          denorm) -> None:
     """Write attacked pairs as `out_dir/image_{2,3}/<id>.png`, cropped to
-    original size (the reference's save convention,
-    /root/reference/attack/DSGN/pgd_attack.py:357-374)."""
+    the pre-padding content size (the reference's save convention,
+    /root/reference/attack/DSGN/pgd_attack.py:357-374). DSGN batches are
+    padded (crop back to original hw); SRCNN batches are RESIZED to network
+    scale, so the crop removes only the width padding (`net_hw`) — the
+    reference likewise writes the full 600-px scaled frame
+    (Stereo-RCNN/pgd_attack.py:233-243)."""
     adv_left = np.asarray(adv_left)
     adv_right = np.asarray(adv_right)
     for i, fid in enumerate(batch["frame_ids"]):
-        hw = batch["orig_hw"][i]
+        hw = batch["net_hw"][i] if "net_hw" in batch else batch["orig_hw"][i]
         K.save_image(os.path.join(out_dir, "image_2", fid + ".png"),
                      denorm(adv_left[i]), crop_hw=hw)
         K.save_image(os.path.join(out_dir, "image_3", fid + ".png"),

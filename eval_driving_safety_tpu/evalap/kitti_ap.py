@@ -117,23 +117,29 @@ def _gt_status(objs: Sequence[KittiObject], cls: str, difficulty) -> List[int]:
     return out
 
 
-def _match_image(gts, dets, ious, gt_status, dontcare, iou_thresh):
+def _match_image(gts, dets, ious, gt_status, dontcare, iou_thresh,
+                 min_height: float = 0.0):
     """Returns (scores, tp_flags) for counted dets + number of counted gts.
 
-    Greedy: dets in score order claim the best unmatched counted gt; a det
-    matching an ignored gt or a DontCare region is dropped from scoring.
+    Greedy: dets in score order claim the best unmatched counted gt.
+    Official ignore rules (evaluate_object.cpp): a det shorter than the
+    difficulty's min bbox height is ignored (neither TP nor FP); a det that
+    matched an ignored gt is not scored; an unmatched det whose
+    intersection / det-area with a DontCare region exceeds 0.5 is dropped.
     """
     order = np.argsort([-d.score for d in dets])
     matched = np.zeros(len(gts), bool)
     scores, tps = [], []
     for di in order:
+        det_h = dets[di].bbox[3] - dets[di].bbox[1]
+        small_det = det_h < min_height
         best_iou, best_gt = iou_thresh, -1
         ignored_hit = False
         for gi in range(len(gts)):
             if gt_status[gi] == -1 or matched[gi]:
                 continue
             if ious[gi, di] >= best_iou:
-                if gt_status[gi] == 1:
+                if gt_status[gi] == 1 and not small_det:
                     best_iou, best_gt = ious[gi, di], gi
                 else:
                     ignored_hit = True
@@ -141,14 +147,19 @@ def _match_image(gts, dets, ious, gt_status, dontcare, iou_thresh):
             matched[best_gt] = True
             scores.append(dets[di].score)
             tps.append(True)
-        elif ignored_hit:
-            continue            # matched an ignored gt: not scored
+        elif ignored_hit or small_det:
+            continue            # ignored: neither TP nor FP
         else:
-            # DontCare check (2D only; dc is (K,4) bboxes)
+            # DontCare absorption: intersection / det-area > 0.5 (2D only)
             if dontcare is not None and len(dontcare):
-                det_box = dets[di].bbox[None]
-                overlap = _iou_2d(np.asarray(dontcare), det_box)
-                if overlap.max(initial=0.0) > 0.5:
+                bb = dets[di].bbox
+                dc = np.asarray(dontcare)
+                ix = np.clip(np.minimum(dc[:, 2], bb[2])
+                             - np.maximum(dc[:, 0], bb[0]), 0, None)
+                iy = np.clip(np.minimum(dc[:, 3], bb[3])
+                             - np.maximum(dc[:, 1], bb[1]), 0, None)
+                det_area = max((bb[2] - bb[0]) * (bb[3] - bb[1]), 1e-9)
+                if (ix * iy / det_area).max(initial=0.0) > 0.5:
                     continue
             scores.append(dets[di].score)
             tps.append(False)
@@ -197,7 +208,7 @@ def evaluate_detections(gt_per_image: Sequence[Sequence[KittiObject]],
             else:
                 ious = _iou_3d(gts, dets_c)
             s, t, n = _match_image(gts, dets_c, ious, status, dontcare,
-                                   iou_thresh)
+                                   iou_thresh, min_height=diff.gates[0])
             all_scores += s
             all_tps += t
             total_gt += n

@@ -54,11 +54,18 @@ def decode_kpts(boxes_left: np.ndarray, kpts_prob: np.ndarray,
 
 def predict_image(outputs, im_left, im_right, calib, cfg: StereoRCNNConfig,
                   image_hw=None, dense_align: bool = True,
-                  batch_index: int = 0) -> List[Dict]:
+                  batch_index: int = 0,
+                  image_scale: float = 1.0) -> List[Dict]:
     """One image's StereoRCNNOutputs row -> KITTI detection dicts.
 
-    im_left/im_right: (H, W, 3) arrays in the model's pixel convention
-    (used only for dense alignment). `image_hw` = original (unpadded) size.
+    im_left/im_right: (H, W, 3) arrays in the model's pixel convention at
+    NETWORK scale (used only for dense alignment). `image_hw` = the
+    ORIGINAL (pre-resize) size; `image_scale` = network / original scale.
+    Boxes and keypoints are mapped back to original resolution before the
+    3D solve, the reference's order of operations (predict_and_save_pgd.py:
+    233-237 divides by im_info scale before box_estimator) — solving at
+    network scale with original-resolution calibration would bias every
+    depth by ~1/scale.
     """
     i = batch_index
     scores = np.asarray(outputs.cls_prob[i])                 # (R, C)
@@ -72,6 +79,7 @@ def predict_image(outputs, im_left, im_right, calib, cfg: StereoRCNNConfig,
     rb_prob = np.asarray(outputs.right_border_prob[i])
 
     h_img, w_img = image_hw or (cfg.input.height, cfg.input.width)
+    h_net, w_net = cfg.input.height, cfg.input.width
     stds = np.asarray(cfg.bbox_normalize_stds)
     stds6 = np.concatenate([stds, stds[[0]], stds[[2]]])
 
@@ -90,8 +98,8 @@ def predict_image(outputs, im_left, im_right, calib, cfg: StereoRCNNConfig,
         d_r = np.stack([d6[:, 4], d6[:, 1], d6[:, 5], d6[:, 3]], axis=1)
         right = np.asarray(B.decode_boxes(jnp.asarray(boxes_r),
                                           jnp.asarray(d_r)))
-        left = np.asarray(B.clip_boxes(jnp.asarray(left), h_img, w_img))
-        right = np.asarray(B.clip_boxes(jnp.asarray(right), h_img, w_img))
+        left = np.asarray(B.clip_boxes(jnp.asarray(left), h_net, w_net))
+        right = np.asarray(B.clip_boxes(jnp.asarray(right), h_net, w_net))
         do5 = dim_orien.reshape(-1, cfg.num_classes, 5)[:, j]
 
         idx = np.where(keep0)[0]
@@ -103,11 +111,13 @@ def predict_image(outputs, im_left, im_right, calib, cfg: StereoRCNNConfig,
         if sel.size == 0:
             continue
 
-        cls_left = left[sel]
-        cls_right = right[sel]
+        # map to ORIGINAL resolution before geometry (see docstring)
+        cls_left = left[sel] / image_scale
+        cls_right = right[sel] / image_scale
         cls_sc = cls_scores[sel]
         cls_do = do5[sel]
         cls_kpts = kpts_all[sel].copy()
+        cls_kpts[:, [0, 3, 4]] /= image_scale      # u-coordinate columns
 
         # border fix-up against geometric occlusion inference
         inferred = infer_boundary((h_img, w_img), cls_left)
@@ -132,13 +142,14 @@ def predict_image(outputs, im_left, im_right, calib, cfg: StereoRCNNConfig,
             init_disp = np.array([
                 calib.f_u * calib.baseline / max(float(s[1][2]), 0.5)
                 for s in solved])
+            # photometric alignment samples the NETWORK-scale images
             ok, disp = align_disparities(
                 jnp.asarray(im_left), jnp.asarray(im_right),
-                jnp.asarray(cls_left[sel_rows]),
-                jnp.asarray(cls_kpts[sel_rows][:, 3:5]),
-                jnp.asarray(init_disp))
+                jnp.asarray(cls_left[sel_rows] * image_scale),
+                jnp.asarray(cls_kpts[sel_rows][:, 3:5] * image_scale),
+                jnp.asarray(init_disp * image_scale))
             ok = np.asarray(ok)
-            disp = np.asarray(disp)
+            disp = np.asarray(disp) / image_scale
             for n, (k, state, dims, alpha) in enumerate(solved):
                 if ok[n]:
                     st, z = solve_x_y_theta_from_kpt(

@@ -251,7 +251,7 @@ class StereoRCNN(nn.Module):
                 bg_thresh_lo=cfg.roi_bg_thresh_lo,
                 bbox_stds=cfg.bbox_normalize_stds, kpts_grid=cfg.kpts_grid)
             rois_left, rois_right = rt.rois_left, rt.rois_right
-            roi_valid = jnp.ones(rois_left.shape[:2], bool)
+            roi_valid = rt.valid
             rois_label = rt.labels
         else:
             rois_left, rois_right = props.rois_left, props.rois_right
@@ -287,13 +287,14 @@ class StereoRCNN(nn.Module):
             do_sel = jnp.take_along_axis(
                 do_view, labels[:, None, None].astype(jnp.int32), axis=1)[:, 0]
 
-            losses["rcnn_cls"] = _masked_mean_ce(
-                cls_score, labels, jnp.ones_like(labels, jnp.float32))
+            roi_ok = rt.valid.reshape(-1).astype(jnp.float32)
+            losses["rcnn_cls"] = _masked_mean_ce(cls_score, labels, roi_ok)
             fg_w = rt.inside_w.reshape(-1, 6)
             losses["rcnn_bbox"] = _smooth_l1_term(
                 bb_sel, rt.targets6.reshape(-1, 6), fg_w)
             losses["rcnn_dim_orien"] = _smooth_l1_term(
-                do_sel, rt.targets_dim_orien.reshape(-1, 5), 1.0)
+                do_sel, rt.targets_dim_orien.reshape(-1, 5),
+                roi_ok[:, None])
             l_kpts = _weighted_ce(kpts_pred, rt.kpts_label.reshape(-1),
                                   rt.kpts_weight.reshape(-1))
             l_lb = _weighted_ce(lb_pred, rt.border_left_label.reshape(-1),

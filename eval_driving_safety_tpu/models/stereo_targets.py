@@ -98,10 +98,13 @@ def anchor_target_layer(anchors, gt_left, gt_right, gt_merge, num_boxes,
         iou = jnp.where(gt_valid[None, :], iou, 0.0)
         max_iou = iou.max(axis=1)
         argmax_gt = iou.argmax(axis=1)
-        # anchors that are the best for some gt are positive too
+        # anchors that are the best for some gt are positive too; restrict
+        # the per-gt argmax to INSIDE anchors (outside ones are labeled -1
+        # below, which would strip edge objects of their only positive)
+        iou_inside = jnp.where(inside[:, None], iou, -1.0)
         # (invalid gts scatter to index n, dropped — a -1 index would WRAP
         # to the last anchor)
-        best_per_gt = jnp.where(gt_valid, iou.argmax(axis=0), n)
+        best_per_gt = jnp.where(gt_valid, iou_inside.argmax(axis=0), n)
         is_best = jnp.zeros((n,), bool).at[best_per_gt].set(
             True, mode="drop")
         labels = jnp.full((n,), -1, jnp.int32)
@@ -143,6 +146,10 @@ def anchor_target_layer(anchors, gt_left, gt_right, gt_merge, num_boxes,
 class RoiTargets(NamedTuple):
     rois_left: jnp.ndarray        # (B, R, 5)
     rois_right: jnp.ndarray       # (B, R, 5)
+    valid: jnp.ndarray            # (B, R) real sampled roi (filler slots,
+                                  # picked by top_k over zero scores when
+                                  # few candidates exist, are False and
+                                  # must not be trained on)
     labels: jnp.ndarray           # (B, R) class id, 0 = bg
     targets6: jnp.ndarray         # (B, R, 6) normalized
     targets_dim_orien: jnp.ndarray  # (B, R, 5)
@@ -237,8 +244,8 @@ def proposal_target_layer(props: Proposals, gt_left, gt_right, gt_dim_orien,
         bl_weight = jnp.where(sel_fg & bl_in, 1.0, 0.0)
         br_weight = jnp.where(sel_fg & br_in, 1.0, 0.0)
 
-        return (rois_l, rois_r, labels, t6, tdo, kpts_label, kpts_weight,
-                bl_label, bl_weight, br_label, br_weight,
+        return (rois_l, rois_r, sel_ok, labels, t6, tdo, kpts_label,
+                kpts_weight, bl_label, bl_weight, br_label, br_weight,
                 jnp.broadcast_to(inside_w, t6.shape),
                 jnp.broadcast_to(outside_w, t6.shape))
 

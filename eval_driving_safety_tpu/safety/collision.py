@@ -146,7 +146,9 @@ def check_solution_folder(gt_scenario_dir: str, solution_dir: str,
     """Pair every solution with its GT scenario via the 6-char id embedded
     in the solution file name (check_collision.py:58-64), count collisions,
     optionally write `collision.txt` with the count (:106-107)."""
-    names = sorted(os.listdir(solution_dir)) \
+    names = sorted(
+        f for f in os.listdir(solution_dir)
+        if f.startswith("solution") and f.endswith(".xml")) \
         if os.path.isdir(solution_dir) else []
     colliding = []
     for name in names:

@@ -73,7 +73,9 @@ def evaluate_all(scenario_dir: str, solution_dir: str,
     """
     scenarios = [f for f in os.listdir(scenario_dir) if f.endswith(".xml")] \
         if os.path.isdir(scenario_dir) else []
-    solutions = sorted(os.listdir(solution_dir)) \
+    solutions = sorted(
+        f for f in os.listdir(solution_dir)
+        if f.startswith("solution") and f.endswith(".xml")) \
         if os.path.isdir(solution_dir) else []
     n_scen = len(scenarios)
     n_sol = len(solutions)

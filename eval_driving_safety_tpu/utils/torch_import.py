@@ -178,15 +178,12 @@ def convert_stereo_rcnn_checkpoint(sd: Dict[str, np.ndarray],
 
     cls_k = conv_kernel(sd["RCNN_rpn.RPN_cls_score.weight"])
     cls_b = sd["RCNN_rpn.RPN_cls_score.bias"]
-    # upstream channel c = class*A + anchor -> ours anchor*2 + class
-    perm = [k * num_anchors + a             # upstream index
+    # gather map: ours channel (anchor*2 + class) <- upstream (class*A + a)
+    perm = [k * num_anchors + a
             for a in range(num_anchors) for k in range(2)]
-    inv = np.empty(len(perm), np.int64)
-    for ours_idx, theirs_idx in enumerate(perm):
-        inv[ours_idx] = theirs_idx
     rpn = {
         "rpn_conv": conv_wb("RCNN_rpn.RPN_Conv"),
-        "rpn_cls": {"kernel": cls_k[..., inv], "bias": cls_b[inv]},
+        "rpn_cls": {"kernel": cls_k[..., perm], "bias": cls_b[perm]},
         "rpn_box": conv_wb("RCNN_rpn.RPN_bbox_pred_left_right"),
     }
     return {"backbone": backbone, "fpn": fpn, "rpn": rpn}

@@ -83,3 +83,23 @@ def test_ap_r40_basic():
     assert _ap_r40([0.9, 0.8], [True, True], 2) == 1.0
     assert _ap_r40([], [], 2) == 0.0
     assert 0.4 < _ap_r40([0.9, 0.8], [True, False], 2) < 0.6
+
+
+def test_small_detection_is_ignored_not_fp():
+    """A det below the difficulty's min height must not count as FP."""
+    gt = [[_obj()]]
+    det = [[_obj(score=0.9),
+            _obj(bbox=(500, 100, 540, 118), score=0.95,   # 18px tall
+                 loc=(8.0, 1.6, 40.0))]]
+    r = evaluate_detections(gt, det, difficulty="moderate")
+    assert r["ap_bbox"] == 1.0
+
+
+def test_dontcare_inter_over_det_area():
+    """A det whose area mostly covers a DontCare region is absorbed even
+    when symmetric IoU is small (large det, small DontCare)."""
+    gt = [[_obj(), _obj(typ="DontCare", bbox=(500, 100, 560, 160))]]
+    det = [[_obj(score=0.9),
+            _obj(bbox=(505, 105, 555, 155), score=0.95)]]  # inside DontCare
+    r = evaluate_detections(gt, det)
+    assert r["ap_bbox"] == 1.0

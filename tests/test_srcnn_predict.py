@@ -142,6 +142,11 @@ def test_predict_image_end_to_end_synthetic():
         dim_orien_pred=jnp.asarray(do), kpts_prob=jnp.asarray(kpts_prob),
         left_border_prob=jnp.asarray(lb), right_border_prob=jnp.asarray(rb),
         rois_label=None, losses={})
+    # network dims must cover the original-resolution boxes (scale 1.0)
+    import dataclasses
+    from eval_driving_safety_tpu.config import SRCNNInputConfig
+    cfg = dataclasses.replace(
+        cfg, input=SRCNNInputConfig(height=600, width=1984))
     dets = predict_image(outputs, None, None, CALIB, cfg,
                          image_hw=(375, 1242), dense_align=False)
     assert len(dets) == 1
@@ -150,3 +155,50 @@ def test_predict_image_end_to_end_synthetic():
     assert d["score"] > 0.9
     np.testing.assert_allclose(d["location"][2], gt[2], atol=1.5)
     np.testing.assert_allclose(d["rotation_y"], gt[3], atol=0.3)
+
+
+def test_predict_image_network_scale_recovers_depth():
+    """Boxes decoded at network scale (1.6x) must still solve to the
+    ORIGINAL-resolution 3D pose (the reference divides by im_info scale
+    before box_estimator)."""
+    cfg = StereoRCNNConfig.tiny()
+    scale = 1.6
+    r = 8
+    gt = (1.0, 1.6, 14.0, 0.2)
+    dims = (1.5, 1.7, 4.0)
+    box_l, box_r, kpt_u, kidx = _project_gt(*gt[:3], np.array(dims), gt[3])
+    alpha = gt[3] - math.atan2(gt[0], gt[2])
+
+    rois_l = np.zeros((1, r, 5)); rois_l[0, :, 1:] = box_l * scale
+    rois_r = np.zeros((1, r, 5)); rois_r[0, :, 1:] = box_r * scale
+    cls_prob = np.zeros((1, r, 2)); cls_prob[0, 0] = [0.05, 0.95]
+    bbox_pred = np.zeros((1, r, 12))
+    do = np.zeros((1, r, 10))
+    do[0, :, 5:] = [*dims, math.sin(alpha), math.cos(alpha)]
+    g = cfg.kpts_grid
+    kpts_prob = np.zeros((1, r, 4 * g))
+    u_bin = int((kpt_u - box_l[0]) / (box_l[2] - box_l[0] + 1) * g)
+    kpts_prob[0, :, kidx * g + u_bin] = 1.0
+    lb = np.zeros((1, r, g)); lb[0, :, 0] = 1.0
+    rb = np.zeros((1, r, g)); rb[0, :, g - 1] = 1.0
+    outputs = StereoRCNNOutputs(
+        rois_left=jnp.asarray(rois_l), rois_right=jnp.asarray(rois_r),
+        roi_valid=jnp.asarray(np.eye(1, r, dtype=bool)),
+        cls_prob=jnp.asarray(cls_prob), bbox_pred=jnp.asarray(bbox_pred),
+        dim_orien_pred=jnp.asarray(do), kpts_prob=jnp.asarray(kpts_prob),
+        left_border_prob=jnp.asarray(lb), right_border_prob=jnp.asarray(rb),
+        rois_label=None, losses={})
+    # network input is tall enough that scaled boxes survive clipping
+    import dataclasses
+    from eval_driving_safety_tpu.config import SRCNNInputConfig
+    cfg = dataclasses.replace(
+        cfg, input=SRCNNInputConfig(height=600, width=1984))
+    dets = predict_image(outputs, None, None, CALIB, cfg,
+                         image_hw=(375, 1242), dense_align=False,
+                         image_scale=scale)
+    assert len(dets) == 1
+    d = dets[0]
+    # depth must match GT (a network-scale solve would give ~z/1.6)
+    np.testing.assert_allclose(d["location"][2], gt[2], atol=1.5)
+    # exported bbox is at ORIGINAL resolution
+    np.testing.assert_allclose(d["bbox"], box_l, atol=2.0)
