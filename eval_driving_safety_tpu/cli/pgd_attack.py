@@ -59,6 +59,23 @@ def parse_args():
     return p.parse_args()
 
 
+def _shard_arrays(tree):
+    """Shard batch-leading arrays over all devices (no-op on one device).
+    The jitted attack is SPMD-partitioned by XLA from the input shardings —
+    the multi-chip path exercised by __graft_entry__.dryrun_multichip."""
+    if jax.device_count() == 1:
+        return tree
+    from eval_driving_safety_tpu.parallel.sharding import (dp_sharding,
+                                                           make_mesh)
+    mesh = make_mesh(jax.device_count(), 1)
+    def put(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % mesh.shape["data"] == 0:
+            return jax.device_put(x, dp_sharding(mesh, x.ndim))
+        return x
+    return jax.tree_util.tree_map(put, tree)
+
+
 def _already_done(prefix: str, n_iters: int, frame_ids) -> bool:
     import os
     return all(os.path.exists(os.path.join(
@@ -119,12 +136,14 @@ def run_dsgn(args):
                 jnp.asarray(b["f_u"][:1]), jnp.asarray(b["baseline"][:1]),
                 jnp.asarray(b["c_u"][:1]), jnp.asarray(b["c_v"][:1])),
                 args.ckpt)
-        calib = tuple(jnp.asarray(b[k]) for k in
-                      ("f_u", "baseline", "c_u", "c_v"))
-        res = attack(params, jnp.asarray(b["im_left"]),
-                     jnp.asarray(b["im_right"]),
-                     calib, jnp.asarray(b["depth_gt"]),
-                     jnp.asarray(g["boxes3d"]), jnp.asarray(g["num_boxes"]))
+        sh = _shard_arrays({
+            "il": b["im_left"], "ir": b["im_right"],
+            "calib": tuple(jnp.asarray(b[k]) for k in
+                           ("f_u", "baseline", "c_u", "c_v")),
+            "depth": b["depth_gt"], "boxes": g["boxes3d"],
+            "nb": g["num_boxes"]})
+        res = attack(params, sh["il"], sh["ir"], sh["calib"], sh["depth"],
+                     sh["boxes"], sh["nb"])
         ident = lambda x: x
         save_attacked_images(b, b["im_left_01"], b["im_right_01"],
                              f"{prefix}_iters_0", ident)
@@ -179,8 +198,9 @@ def run_srcnn(args):
                 jnp.asarray(b["im_right"][:1]),
                 gt=jax.tree_util.tree_map(lambda x: x[:1], gt), rng=rng,
                 mode="attack"), args.ckpt)
-        res = attack(params, jnp.asarray(b["im_left"]),
-                     jnp.asarray(b["im_right"]), gt)
+        sh = _shard_arrays({"il": b["im_left"], "ir": b["im_right"],
+                            "gt": gt})
+        res = attack(params, sh["il"], sh["ir"], sh["gt"])
         save_attacked_images(b, b["im_left"], b["im_right"],
                              f"{prefix}_iters_0", denorm)
         for k in range(args.iter):

@@ -125,3 +125,20 @@ def test_gt_convert_cli(kitti_root, tmp_path):
     sc = read_scenario(str(out_dir / "000002.xml"))
     assert len(sc.dynamic_obstacles) == 1
     assert len(sc.dynamic_obstacles[0].trajectory.states) == 19
+
+
+@pytest.mark.slow
+def test_pgd_attack_cli_sharded_over_mesh(kitti_root, tmp_path):
+    """Batch 2 over 2 forced virtual devices: the CLI shards the batch and
+    the SPMD-partitioned attack still writes both frames' outputs."""
+    out = tmp_path / "adv8"
+    cmd = [sys.executable, "-m", "eval_driving_safety_tpu.cli.pgd_attack",
+           "--detector", "dsgn", "--tiny", "--data_path", str(kitti_root),
+           "--iter", "1", "--batch", "2", "--out_prefix", str(out / "p")]
+    env = {**ENV,
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd="/root/repo", timeout=1200)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert (out / "p_iters_1" / "image_2" / "000001.png").exists()
+    assert (out / "p_iters_1" / "image_2" / "000002.png").exists()
