@@ -142,3 +142,17 @@ def test_pgd_attack_cli_sharded_over_mesh(kitti_root, tmp_path):
     assert r.returncode == 0, r.stderr[-800:]
     assert (out / "p_iters_1" / "image_2" / "000001.png").exists()
     assert (out / "p_iters_1" / "image_2" / "000002.png").exists()
+
+
+@pytest.mark.slow
+def test_pgd_attack_cli_srcnn(kitti_root, tmp_path):
+    out = tmp_path / "srcnn_adv"
+    run_cli("pgd_attack", "--detector", "srcnn", "--tiny",
+            "--data_path", str(kitti_root), "--iter", "1",
+            "--out_prefix", str(out / "p"), "--debug", "--debugnum", "1")
+    from eval_driving_safety_tpu.data.kitti import load_image
+    clean = load_image(str(out / "p_iters_0/image_2/000001.png"))
+    adv = load_image(str(out / "p_iters_1/image_2/000001.png"))
+    # images are written at NETWORK scale (96-height tiny config)
+    assert clean.shape[0] == 96
+    assert np.abs(adv - clean).max() > 0
