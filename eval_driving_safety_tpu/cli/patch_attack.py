@@ -120,6 +120,23 @@ def main():
     dim, radius, patch = init_patch(short, ratio, save_dir)
     log(f"patch dim {dim} (radius {radius}); save_dir {save_dir}")
 
+    def shard(tree):
+        """Batch-shard over all devices (no-op on one); the patch itself
+        stays replicated and its gradient all-reduces over the data axis
+        (SURVEY.md §2.3's psum)."""
+        if jax.device_count() == 1:
+            return tree
+        from eval_driving_safety_tpu.parallel.sharding import (dp_sharding,
+                                                               make_mesh)
+        mesh = make_mesh(jax.device_count(), 1)
+
+        def put(x):
+            x = jnp.asarray(x)
+            if x.ndim >= 1 and x.shape[0] % mesh.shape["data"] == 0:
+                return jax.device_put(x, dp_sharding(mesh, x.ndim))
+            return x
+        return jax.tree_util.tree_map(put, tree)
+
     for epoch in range(epochs):
         epoch_losses = []
         for samples in ds.batches(args.batch, drop_remainder=True):
@@ -137,6 +154,10 @@ def main():
                 bkey, imgs_l.shape[0], h, w, radius,
                 row_band=pcfg.row_band, col_band=pcfg.col_band,
                 disparity_shift=pcfg.disparity_shift)
+            sh = shard({"il": imgs_l, "ir": imgs_r,
+                        "cl": centers_l, "cr": centers_r})
+            imgs_l, imgs_r = sh["il"], sh["ir"]
+            centers_l, centers_r = sh["cl"], sh["cr"]
             if is_dsgn:
                 boxes3d, num_boxes = ghost_car_targets(len(samples), pcfg)
                 if params is None:
