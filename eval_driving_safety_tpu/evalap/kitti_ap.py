@@ -53,11 +53,12 @@ def _iou_2d(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def _bev_boxes(objs: Sequence[KittiObject]) -> np.ndarray:
-    """(N,5) rotated BEV boxes (cx, cz, w, l, ry)."""
+    """(N,5) rotated boxes in ops.rotated convention (angle = -ry; see
+    ops.rotated.kitti_bev_box5)."""
     if not objs:
         return np.zeros((0, 5))
     return np.array([[o.location[0], o.location[2], o.dimensions[1],
-                      o.dimensions[2], o.rotation_y] for o in objs])
+                      o.dimensions[2], -o.rotation_y] for o in objs])
 
 
 def _iou_bev(a_objs, b_objs) -> np.ndarray:

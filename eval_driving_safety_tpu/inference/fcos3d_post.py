@@ -56,7 +56,8 @@ def decode_bev_outputs(outputs: Dict, cfg: DSGNConfig,
         l = jnp.exp(rf[:, 5])
         ry = jnp.arctan2(rf[:, 6], rf[:, 7])
         ok = top_s > cfg.score_thresh
-        bev5 = jnp.stack([cx, cz, w, l, ry], axis=-1)
+        # KITTI ry -> rotated-op angle is NEGATED (ops.rotated.kitti_bev_box5)
+        bev5 = jnp.stack([cx, cz, w, l, -ry], axis=-1)
         keep, keep_mask = rotated_nms(bev5, top_s, cfg.max_detections,
                                       cfg.nms_thresh, valid=ok)
         b7 = jnp.stack([cx, cy, cz, h, w, l, ry], axis=-1)[keep]
@@ -66,20 +67,12 @@ def decode_bev_outputs(outputs: Dict, cfg: DSGNConfig,
     return Detections3D(b7, s, k, v)
 
 
-_CORNER_SIGNS = np.array(
-    [[1, 1], [1, -1], [-1, -1], [-1, 1]], np.float32)  # (l/2, w/2) signs
-
-
 def box3d_corners(box7: np.ndarray) -> np.ndarray:
-    """8 corners (camera frame) of [x, y_bottom, z, h, w, l, ry]."""
+    """8 corners (camera frame) of [x, y_bottom, z, h, w, l, ry] — one
+    shared KITTI corner convention (ops.box_solver._box_corners_cam)."""
+    from eval_driving_safety_tpu.ops.box_solver import _box_corners_cam
     x, y, z, h, w, l, ry = box7
-    lu = _CORNER_SIGNS[:, 0] * l / 2.0
-    wv = _CORNER_SIGNS[:, 1] * w / 2.0
-    cx = x + lu * np.cos(ry) + wv * np.sin(ry)
-    cz = z - lu * np.sin(ry) + wv * np.cos(ry)
-    bottom = np.stack([cx, np.full(4, y), cz], axis=1)
-    top = bottom - np.array([0.0, h, 0.0])
-    return np.concatenate([bottom, top], axis=0)
+    return _box_corners_cam(x, y, z, (h, w, l), ry)
 
 
 def detections_to_kitti(dets: Detections3D, calib, image_hw,

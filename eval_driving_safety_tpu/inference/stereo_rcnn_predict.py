@@ -151,17 +151,17 @@ def predict_image(outputs, im_left, im_right, calib, cfg: StereoRCNNConfig,
             ok = np.asarray(ok)
             disp = np.asarray(disp) / image_scale
             for n, (k, state, dims, alpha) in enumerate(solved):
-                if ok[n]:
-                    st, z = solve_x_y_theta_from_kpt(
-                        (h_img, w_img), calib, alpha, dims, cls_left[k],
-                        disp[n], cls_kpts[k])
-                    xyz = (float(st[0]), float(st[1]), float(z))
-                    theta = float(st[2])
-                else:
-                    xyz = tuple(float(v) for v in state[:3])
-                    theta = float(state[3])
-                detections.append(_det_dict(j, cls_left[k], dims, xyz,
-                                            theta, float(cls_sc[k])))
+                if not ok[n]:
+                    # the reference only exports alignment successes
+                    # (predict_and_save_pgd.py: succ > 0 gate)
+                    continue
+                st, z = solve_x_y_theta_from_kpt(
+                    (h_img, w_img), calib, alpha, dims, cls_left[k],
+                    disp[n], cls_kpts[k])
+                detections.append(_det_dict(
+                    j, cls_left[k], dims,
+                    (float(st[0]), float(st[1]), float(z)), float(st[2]),
+                    float(cls_sc[k])))
         else:
             for k, state, dims, alpha in solved:
                 detections.append(_det_dict(

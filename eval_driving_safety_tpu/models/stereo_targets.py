@@ -214,8 +214,13 @@ def proposal_target_layer(props: Proposals, gt_left, gt_right, gt_dim_orien,
         assign = gt_assign[sel]
         labels = jnp.where(sel_fg, gl[assign, 4].astype(jnp.int32), 0)
 
-        t6 = B.encode_stereo_boxes(rois_l[:, 1:], gl[assign, :4],
-                                   gr[assign, :4]) / stds6
+        # left deltas vs the LEFT roi, right deltas vs the RIGHT roi —
+        # matching the reference's per-view encoding and the decode in
+        # inference/stereo_rcnn_predict.py (bbox_transform_inv on boxes_r)
+        t_left = B.encode_boxes(rois_l[:, 1:], gl[assign, :4])
+        t_right = B.encode_boxes(rois_r[:, 1:], gr[assign, :4])
+        t6 = jnp.concatenate(
+            [t_left, t_right[:, 0:1], t_right[:, 2:3]], axis=-1) / stds6
         tdo = gdo[assign]
         inside_w = jnp.where(sel_fg[:, None], 1.0, 0.0)
         outside_w = jnp.full_like(inside_w, 1.0 / roi_batch_size)

@@ -120,3 +120,14 @@ def rotated_pairwise_iou(boxes_a, boxes_b):
 
 def rotated_iou_single(box_a, box_b):
     return rotated_pairwise_iou(box_a[None], box_b[None])[0, 0]
+
+
+def kitti_bev_box5(x, z, w, l, ry):
+    """KITTI camera-frame BEV box -> this module's (cx, cy, w, l, angle).
+
+    KITTI footprint corners are (x + lu*cos(ry) + wv*sin(ry),
+    z - lu*sin(ry) + wv*cos(ry)) — that equals `box5_to_corners` with
+    angle = -ry (the y-down camera frame flips the rotation sense).
+    Stack with jnp.stack([...], -1) or np.stack as needed.
+    """
+    return x, z, w, l, -ry

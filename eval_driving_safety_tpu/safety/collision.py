@@ -114,12 +114,17 @@ def ego_array(trajectory: Trajectory, length: float = BMW320I.length,
     return np.asarray(rows, np.float64).reshape(-1, 6)
 
 
-def first_collision(scenario: Scenario, trajectory: Trajectory,
-                    length: float = BMW320I.length,
-                    width: float = BMW320I.width) -> int:
-    """Index of the first colliding ego state, or -1."""
-    ego = ego_array(trajectory, length, width)
-    stat, dyn = scenario_arrays(scenario)
+def first_collision_arrays(ego: np.ndarray, stat: np.ndarray,
+                           dyn: np.ndarray) -> int:
+    """Index of the first colliding ego row, or -1.
+
+    ego (T,6) rows (t, cx, cy, orient, len, wid); stat (M,5); dyn (N,6)
+    time-stamped. Native C++ core with a numpy fallback — the single
+    entry point shared by the scenario API and the planner's segment
+    pruning."""
+    ego = np.ascontiguousarray(ego, np.float64)
+    stat = np.ascontiguousarray(stat, np.float64)
+    dyn = np.ascontiguousarray(dyn, np.float64)
     lib = get_native()
     if lib is not None:
         return int(lib.trajectory_first_collision(
@@ -136,13 +141,22 @@ def first_collision(scenario: Scenario, trajectory: Trajectory,
     return -1
 
 
+def first_collision(scenario: Scenario, trajectory: Trajectory,
+                    length: float = BMW320I.length,
+                    width: float = BMW320I.width) -> int:
+    """Index of the first colliding ego state, or -1."""
+    ego = ego_array(trajectory, length, width)
+    stat, dyn = scenario_arrays(scenario)
+    return first_collision_arrays(ego, stat, dyn)
+
+
 def collides(scenario: Scenario, trajectory: Trajectory, **kw) -> bool:
     return first_collision(scenario, trajectory, **kw) >= 0
 
 
 def check_solution_folder(gt_scenario_dir: str, solution_dir: str,
-                          collision_txt: Optional[str] = None
-                          ) -> Tuple[int, List[str]]:
+                          collision_txt: Optional[str] = None,
+                          return_trajectories: bool = False):
     """Pair every solution with its GT scenario via the 6-char id embedded
     in the solution file name (check_collision.py:58-64), count collisions,
     optionally write `collision.txt` with the count (:106-107)."""
@@ -151,16 +165,23 @@ def check_solution_folder(gt_scenario_dir: str, solution_dir: str,
         if f.startswith("solution") and f.endswith(".xml")) \
         if os.path.isdir(solution_dir) else []
     colliding = []
+    trajectories = {}
     for name in names:
         sid = name[17:23]
         scen_path = os.path.join(gt_scenario_dir, sid + ".xml")
         if not os.path.exists(scen_path):
-            continue
+            # silently counting a missing scenario as collision-free would
+            # corrupt every downstream rate — fail loudly like the reference
+            raise FileNotFoundError(
+                f"GT scenario for solution {name!r} not found: {scen_path}")
         scenario = read_scenario(scen_path)
         _, _, traj = read_solution(os.path.join(solution_dir, name))
+        trajectories[name] = traj
         if collides(scenario, traj):
             colliding.append(sid)
     if collision_txt:
         with open(collision_txt, "w") as f:
             f.write(str(len(colliding)))
+    if return_trajectories:
+        return len(colliding), colliding, trajectories
     return len(colliding), colliding

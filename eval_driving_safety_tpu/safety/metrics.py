@@ -80,12 +80,15 @@ def evaluate_all(scenario_dir: str, solution_dir: str,
     n_scen = len(scenarios)
     n_sol = len(solutions)
 
-    n_coll, colliding = check_solution_folder(
-        gt_scenario_dir or scenario_dir, solution_dir)
+    n_coll, colliding, trajectories = check_solution_folder(
+        gt_scenario_dir or scenario_dir, solution_dir,
+        return_trajectories=True)
 
     lengths, times = [], []
     for name in solutions:
-        _, _, traj = read_solution(os.path.join(solution_dir, name))
+        traj = trajectories.get(name)
+        if traj is None:
+            _, _, traj = read_solution(os.path.join(solution_dir, name))
         lengths.append(trajectory_length(traj.states))
         times.append(travel_time(traj.states, dt))
 

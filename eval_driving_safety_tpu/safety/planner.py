@@ -21,14 +21,12 @@ import numpy as np
 
 from eval_driving_safety_tpu.config import PlannerConfig
 from eval_driving_safety_tpu.safety.collision import (
-    get_native, scenario_arrays, _obb_overlap_np)
+    first_collision_arrays, scenario_arrays)
 from eval_driving_safety_tpu.safety.commonroad_io import (
     PlanningProblem, Scenario, State, Trajectory)
 from eval_driving_safety_tpu.safety.primitives import (
     MotionPrimitive, primitives_for_band, transform_states)
 from eval_driving_safety_tpu.safety.vehicle import BMW320I
-
-import ctypes
 
 
 @dataclass(order=True)
@@ -43,6 +41,10 @@ class _Node:
     states: tuple = field(compare=False, default=())   # accumulated world states
 
 
+def _wrap_pi(a: float) -> float:
+    return (a + math.pi) % (2 * math.pi) - math.pi
+
+
 def _in_goal(state_row, goal) -> bool:
     """state_row = (x, y, psi, v, sa); time handled by caller."""
     gx, gy = goal.position.center
@@ -52,7 +54,9 @@ def _in_goal(state_row, goal) -> bool:
     ly = -s * dx + c * dy
     if abs(lx) > goal.position.length / 2 or abs(ly) > goal.position.width / 2:
         return False
-    if not (goal.orientation.start <= state_row[2] <= goal.orientation.end):
+    # psi accumulates unwrapped over primitives — compare wrapped
+    if not (goal.orientation.start <= _wrap_pi(state_row[2])
+            <= goal.orientation.end):
         return False
     return goal.velocity.start - 1e-6 <= state_row[3] <= goal.velocity.end + 1e-6
 
@@ -67,7 +71,6 @@ class AStarPlanner:
         self.cfg = cfg
         self.vehicle = vehicle
         self.stat, self.dyn = scenario_arrays(scenario)
-        self.lib = get_native()
         # index primitives by (v_start, sa_start)
         self.by_start: Dict[Tuple[float, float], List[MotionPrimitive]] = {}
         self.v_samples = sorted({p.v_start for p in primitives})
@@ -90,21 +93,7 @@ class AStarPlanner:
         ego[:, 3] = world_states[1:, 2]
         ego[:, 4] = self.vehicle.length
         ego[:, 5] = self.vehicle.width
-        if self.lib is not None:
-            return self.lib.trajectory_first_collision(
-                ego.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), k,
-                self.stat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                len(self.stat),
-                self.dyn.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                len(self.dyn)) >= 0
-        for row in ego:
-            for s_row in self.stat:
-                if _obb_overlap_np(row[1:], s_row):
-                    return True
-            for d_row in self.dyn:
-                if d_row[0] == row[0] and _obb_overlap_np(row[1:], d_row[1:]):
-                    return True
-        return False
+        return first_collision_arrays(ego, self.stat, self.dyn) >= 0
 
     # -- search ------------------------------------------------------------
 
@@ -164,7 +153,8 @@ class AStarPlanner:
 
     @staticmethod
     def _to_trajectory(states) -> Trajectory:
-        out = [State(position=np.array([r[0], r[1]]), orientation=r[2],
+        out = [State(position=np.array([r[0], r[1]]),
+                     orientation=_wrap_pi(r[2]),
                      velocity=r[3], steering_angle=r[4], time_step=int(r[5]))
                for r in states]
         return Trajectory(out[0].time_step, out)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import List
 
 import numpy as np
@@ -106,11 +107,14 @@ def generate_primitives(vmin: float, vmax: float, vstep: float,
     return prims
 
 
+@lru_cache(maxsize=8)
 def primitives_for_band(is_highway: bool,
                         cfg: PlannerConfig = PlannerConfig()
                         ) -> List[MotionPrimitive]:
     """Street 6-8 (vstep 0 -> endpoints) or highway 11-13 (vstep 2), the
-    reference's two named primitive files (plan_motion.py:36-37,67-72)."""
+    reference's two named primitive files (plan_motion.py:36-37,67-72).
+    Cached: the bank depends only on (is_highway, cfg) and the reference
+    likewise builds its automaton once per sweep."""
     band = cfg.highway_v if is_highway else cfg.street_v
     return generate_primitives(band[0], band[1], band[2], cfg)
 

@@ -104,3 +104,22 @@ def test_nms_parallel_respects_valid_mask():
                              valid=jnp.asarray([True, False]))
     assert bool(mask[0]) and not bool(mask[1])
     assert int(idx[0]) == 0
+
+
+def test_kitti_bev_convention_matches_corner_geometry():
+    """box5_to_corners with angle=-ry must reproduce the KITTI footprint
+    corners used by box3d_corners/assign_bev_targets (x,z columns)."""
+    from eval_driving_safety_tpu.inference.fcos3d_post import box3d_corners
+    from eval_driving_safety_tpu.ops.rotated import box5_to_corners
+    x, y, z, h, w, l, ry = 1.0, 1.6, 10.0, 1.5, 1.7, 4.0, 0.7
+    kitti = box3d_corners(np.array([x, y, z, h, w, l, ry]))[:4][:, [0, 2]]
+    ours = np.asarray(box5_to_corners(
+        jnp.asarray([x, z, w, l, -ry])))
+    # same 4 corners (order may differ)
+    kset = sorted(map(tuple, np.round(kitti, 5)))
+    oset = sorted(map(tuple, np.round(ours, 5)))
+    np.testing.assert_allclose(kset, oset, atol=1e-4)
+    # and the +ry sign would NOT match (the bug this pins down)
+    wrong = np.asarray(box5_to_corners(jnp.asarray([x, z, w, l, ry])))
+    wset = sorted(map(tuple, np.round(wrong, 5)))
+    assert not np.allclose(kset, wset, atol=1e-3)
