@@ -156,3 +156,16 @@ def test_pgd_attack_cli_srcnn(kitti_root, tmp_path):
     # images are written at NETWORK scale (96-height tiny config)
     assert clean.shape[0] == 96
     assert np.abs(adv - clean).max() > 0
+
+
+@pytest.mark.slow
+def test_predict_cli_srcnn(kitti_root, tmp_path):
+    res = tmp_path / "srcnn_results"
+    run_cli("predict_and_save", "--detector", "srcnn", "--tiny",
+            "--data_path", str(kitti_root), "--result_dir", str(res),
+            "--debug", "--debugnum", "1")
+    # txt exists (may be empty with random weights) in KITTI format
+    p = res / "data" / "000001.txt"
+    assert p.exists()
+    for line in p.read_text().splitlines():
+        assert len(line.split()) == 16     # 15 fields + score
