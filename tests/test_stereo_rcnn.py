@@ -79,3 +79,37 @@ def test_attack_gradient_flows_to_pixels(setup):
     # both views must receive nonzero gradient (white-box attack viability)
     assert float(jnp.abs(gl).max()) > 0
     assert float(jnp.abs(gr).max()) > 0
+
+
+def test_make_gt_batch_geometry():
+    """Right boxes shifted by center disparity; keypoint is an interior
+    bottom-corner projection; merge box spans both."""
+    import math
+    from eval_driving_safety_tpu.data.kitti import Calibration, KittiObject
+    from eval_driving_safety_tpu.models.stereo_rcnn import make_gt_batch
+
+    cfg = StereoRCNNConfig.tiny()
+    calib = Calibration.default()
+    # bbox consistent with the 3D pose (projection of the box corners)
+    obj = KittiObject(
+        type="Car", truncated=0, occluded=0, alpha=0.0,
+        bbox=np.array([584.0, 178.0, 707.0, 288.0]),
+        dimensions=np.array([1.5, 1.7, 4.0]),
+        location=np.array([0.5, 1.6, 12.0]), rotation_y=math.pi / 2)
+    gt = make_gt_batch([[obj, KittiObject(
+        type="Pedestrian", truncated=0, occluded=0, alpha=0,
+        bbox=np.zeros(4), dimensions=np.ones(3), location=np.ones(3),
+        rotation_y=0.0)]], [calib], cfg, image_scale=1.6)
+    assert int(gt["num_boxes"][0]) == 1        # Pedestrian filtered
+    gl = np.asarray(gt["gt_left"][0, 0])
+    gr = np.asarray(gt["gt_right"][0, 0])
+    gm = np.asarray(gt["gt_merge"][0, 0])
+    np.testing.assert_allclose(gl[:4], obj.bbox * 1.6)
+    disp = calib.f_u * calib.baseline / 12.0 * 1.6
+    np.testing.assert_allclose(gl[0] - gr[0], disp, rtol=1e-5)
+    np.testing.assert_allclose(gl[2] - gr[2], disp, rtol=1e-5)
+    np.testing.assert_allclose(gl[[1, 3]], gr[[1, 3]])   # shared y extent
+    assert gm[0] == min(gl[0], gr[0]) and gm[2] == max(gl[2], gr[2])
+    gk = np.asarray(gt["gt_kpts"][0, 0])
+    assert 0 <= gk[0] <= 3                      # corner type
+    assert gl[0] - 80 <= gk[1] <= gl[2] + 80    # keypoint u near the box
