@@ -82,6 +82,8 @@ def predict_image(outputs, im_left, im_right, calib, cfg: StereoRCNNConfig,
     h_net, w_net = cfg.input.height, cfg.input.width
     stds = np.asarray(cfg.bbox_normalize_stds)
     stds6 = np.concatenate([stds, stds[[0]], stds[[2]]])
+    means = np.asarray(cfg.bbox_normalize_means)
+    means6 = np.concatenate([means, means[[0]], means[[2]]])
 
     kpts_all = decode_kpts(boxes_l, kpts_prob, lb_prob, rb_prob,
                            cfg.kpts_grid)
@@ -92,7 +94,7 @@ def predict_image(outputs, im_left, im_right, calib, cfg: StereoRCNNConfig,
         keep0 = cls_scores > cfg.score_thresh
         if not keep0.any():
             continue
-        d6 = bbox_pred.reshape(-1, cfg.num_classes, 6)[:, j] * stds6
+        d6 = bbox_pred.reshape(-1, cfg.num_classes, 6)[:, j] * stds6 + means6
         left = np.asarray(B.decode_boxes(jnp.asarray(boxes_l),
                                          jnp.asarray(d6[:, :4])))
         d_r = np.stack([d6[:, 4], d6[:, 1], d6[:, 5], d6[:, 3]], axis=1)

@@ -19,19 +19,19 @@ class FPN(nn.Module):
 
     @nn.compact
     def __call__(self, c2, c3, c4, c5):
-        lat = lambda ch, name: nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                                       name=name)
+        lat = lambda name: nn.Conv(self.out_channels, (1, 1),
+                                   dtype=self.dtype, name=name)
         smooth = lambda name: nn.Conv(self.out_channels, (3, 3), padding="SAME",
                                       dtype=self.dtype, name=name)
-        p5 = lat(c5.shape[-1], "toplayer")(c5)
+        p5 = lat("toplayer")(c5)
         p4 = upsample_bilinear(p5, c4.shape[1], c4.shape[2]) + \
-            lat(c4.shape[-1], "latlayer1")(c4)
+            lat("latlayer1")(c4)
         p4 = smooth("smooth1")(p4)
         p3 = upsample_bilinear(p4, c3.shape[1], c3.shape[2]) + \
-            lat(c3.shape[-1], "latlayer2")(c3)
+            lat("latlayer2")(c3)
         p3 = smooth("smooth2")(p3)
         p2 = upsample_bilinear(p3, c2.shape[1], c2.shape[2]) + \
-            lat(c2.shape[-1], "latlayer3")(c2)
+            lat("latlayer3")(c2)
         p2 = smooth("smooth3")(p2)
         # p6: 1x1 max-pool stride 2 of p5 (reference uses MaxPool2d(1, stride=2))
         p6 = p5[:, ::2, ::2, :]

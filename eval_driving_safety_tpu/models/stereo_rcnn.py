@@ -249,6 +249,7 @@ class StereoRCNN(nn.Module):
                 fg_fraction=cfg.roi_fg_fraction, fg_thresh=cfg.roi_fg_thresh,
                 bg_thresh_hi=cfg.roi_bg_thresh_hi,
                 bg_thresh_lo=cfg.roi_bg_thresh_lo,
+                bbox_means=cfg.bbox_normalize_means,
                 bbox_stds=cfg.bbox_normalize_stds, kpts_grid=cfg.kpts_grid)
             rois_left, rois_right = rt.rois_left, rt.rois_right
             roi_valid = rt.valid
@@ -367,8 +368,10 @@ def make_gt_batch(objects_per_image, calib_list, cfg: StereoRCNNConfig,
                               bb[3]]
             alpha = o.alpha
             gt_dim_orien[b, k] = [*o.dimensions, np.sin(alpha), np.cos(alpha)]
-            # perspective keypoint: project the 4 bottom corners, take the
-            # one interior to the 2D box (type encodes which corner)
+            # perspective keypoint: of the 4 projected bottom corners, the
+            # visible one is the NEAREST (min camera depth) corner whose
+            # projection is interior to the silhouette (not the extreme
+            # left/right corners); type encodes which corner it is
             h3, w3, l3 = o.dimensions
             ry = o.rotation_y
             cx = np.array([l3 / 2, l3 / 2, -l3 / 2, -l3 / 2])
@@ -378,7 +381,11 @@ def make_gt_batch(objects_per_image, calib_list, cfg: StereoRCNNConfig,
             pts = np.stack([xs, np.full(4, y), zs], axis=1)
             uv = calib.project_rect_to_image(pts)
             us = uv[:, 0] * image_scale
-            interior = np.argsort(np.abs(us - (bb[0] + bb[2]) / 2))[0]
+            interior_mask = (us > us.min()) & (us < us.max())
+            depth_rank = np.where(interior_mask, zs, np.inf)
+            interior = (int(np.argmin(depth_rank))
+                        if np.isfinite(depth_rank).any()
+                        else int(np.argmin(zs)))
             gt_kpts[b, k] = [float(interior), us[interior], bb[0], bb[2],
                              0.0, 0.0]
             k += 1

@@ -159,14 +159,14 @@ class RoiTargets(NamedTuple):
     border_left_weight: jnp.ndarray
     border_right_label: jnp.ndarray
     border_right_weight: jnp.ndarray
-    inside_w: jnp.ndarray         # (B, R, 6)
-    outside_w: jnp.ndarray        # (B, R, 6)
+    inside_w: jnp.ndarray         # (B, R, 6) fg-only regression mask
 
 
 def proposal_target_layer(props: Proposals, gt_left, gt_right, gt_dim_orien,
                           gt_kpts, num_boxes, rng, *, roi_batch_size: int = 128,
                           fg_fraction: float = 0.25, fg_thresh: float = 0.5,
                           bg_thresh_hi: float = 0.5, bg_thresh_lo: float = 0.0,
+                          bbox_means=(0.0, 0.0, 0.0, 0.0),
                           bbox_stds=(0.1, 0.1, 0.2, 0.2), kpts_grid: int = 28):
     """Sample a fixed 128-roi minibatch with stereo/dim/keypoint targets.
 
@@ -176,6 +176,8 @@ def proposal_target_layer(props: Proposals, gt_left, gt_right, gt_dim_orien,
     """
     stds = jnp.asarray(bbox_stds)
     stds6 = jnp.concatenate([stds, stds[0:1], stds[2:3]])
+    means = jnp.asarray(bbox_means)
+    means6 = jnp.concatenate([means, means[0:1], means[2:3]])
 
     def per_image(rl, rr, pvalid, gl, gr, gdo, gk, nb, key):
         g = gl.shape[0]
@@ -219,11 +221,11 @@ def proposal_target_layer(props: Proposals, gt_left, gt_right, gt_dim_orien,
         # inference/stereo_rcnn_predict.py (bbox_transform_inv on boxes_r)
         t_left = B.encode_boxes(rois_l[:, 1:], gl[assign, :4])
         t_right = B.encode_boxes(rois_r[:, 1:], gr[assign, :4])
-        t6 = jnp.concatenate(
-            [t_left, t_right[:, 0:1], t_right[:, 2:3]], axis=-1) / stds6
+        t6 = (jnp.concatenate(
+            [t_left, t_right[:, 0:1], t_right[:, 2:3]], axis=-1)
+            - means6) / stds6
         tdo = gdo[assign]
         inside_w = jnp.where(sel_fg[:, None], 1.0, 0.0)
-        outside_w = jnp.full_like(inside_w, 1.0 / roi_batch_size)
 
         # keypoint / border targets: pixel coords -> grid bins within left roi
         roi_x1 = rois_l[:, 1]
@@ -251,8 +253,7 @@ def proposal_target_layer(props: Proposals, gt_left, gt_right, gt_dim_orien,
 
         return (rois_l, rois_r, sel_ok, labels, t6, tdo, kpts_label,
                 kpts_weight, bl_label, bl_weight, br_label, br_weight,
-                jnp.broadcast_to(inside_w, t6.shape),
-                jnp.broadcast_to(outside_w, t6.shape))
+                jnp.broadcast_to(inside_w, t6.shape))
 
     bsz = gt_left.shape[0]
     keys = jax.random.split(rng, bsz)

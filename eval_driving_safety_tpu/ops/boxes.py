@@ -120,18 +120,3 @@ def smooth_l1(diff, sigma: float = 1.0):
     s2 = sigma * sigma
     absd = jnp.abs(diff)
     return jnp.where(absd < 1.0 / s2, 0.5 * s2 * diff * diff, absd - 0.5 / s2)
-
-
-def weighted_smooth_l1_loss(pred, target, inside_w=None, outside_w=None,
-                            sigma: float = 1.0):
-    """The reference's `_smooth_l1_loss`: sum over coords, mean over rows
-    semantics via outside weights (sums then normalizes by batch rows)."""
-    diff = pred - target
-    if inside_w is not None:
-        diff = diff * inside_w
-    loss = smooth_l1(diff, sigma)
-    if outside_w is not None:
-        loss = loss * outside_w
-    # mean over leading dim, sum over the rest — matches torch impl that
-    # does loss.sum(dim)/N with outside weights 1/N_samples baked in.
-    return loss.sum() / jnp.maximum(pred.shape[0], 1)

@@ -81,8 +81,11 @@ def build_psv(feat_left, feat_right, f_u, baseline, planes, stride: int):
     w = feat_right.shape[2]
 
     def per_image(fl, fr, fu, bl):
-        disps = (fu * bl / planes / stride).astype(fl.dtype)   # (D,)
-        coords = jnp.arange(w, dtype=fl.dtype) - disps[:, None]  # (D, W)
+        # coordinates/weights in fp32: bf16 has a 2-px ulp beyond column
+        # 256, which would quantize sub-pixel shifts over the right part of
+        # the row; only the final weight matrix is cast for the MXU
+        disps = (fu * bl / planes / stride).astype(jnp.float32)   # (D,)
+        coords = jnp.arange(w, dtype=jnp.float32) - disps[:, None]  # (D, W)
         wm = _tent_weights(coords, w, dtype=fl.dtype)            # (D, W, W)
         warped = jnp.einsum("dxw,hwc->dhxc", wm, fr,
                             preferred_element_type=fl.dtype)

@@ -64,7 +64,13 @@ def align_disparities(im_left, im_right, boxes, borders, init_disp, *,
         disps = d0 + cands                                  # (C,)
         uu_r = uu[None] - disps[:, None, None]              # (C, P, P)
         right = _bilinear(im_right, jnp.broadcast_to(vv, uu_r.shape), uu_r)
-        err = ((right - left[None]) ** 2).sum(axis=(1, 2, 3))  # (C,)
+        # samples shifted past the image edge would match border-clamped
+        # (replicated) pixels — penalize them instead
+        in_range = ((uu_r >= 0.0)
+                    & (uu_r <= im_right.shape[1] - 1.0))[..., None]
+        sq = ((right - left[None]) ** 2) * in_range
+        err = sq.sum(axis=(1, 2, 3)) \
+            + 1e3 * (~in_range).sum(axis=(1, 2, 3)).astype(sq.dtype)
         best = jnp.argmin(err)
         ok = (x2 > x1 + 2.0) & (y2 > y1 + 2.0) & (d0 > 0.5)
         return ok, jnp.maximum(disps[best], 0.5)

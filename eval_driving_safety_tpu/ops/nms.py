@@ -50,7 +50,7 @@ def nms(boxes, scores, max_out: int, iou_thresh: float, valid=None):
     return _nms_from_iou(iou, scores, valid, max_out, iou_thresh)
 
 
-def _keep_fixpoint(iou, scores, valid, iou_thresh: float, iters: int):
+def _keep_fixpoint(iou, scores, valid, iou_thresh: float):
     """Parallel greedy-NMS keep mask via suppression-chain iteration.
 
     Box i survives iff no *surviving* higher-scored box overlaps it above
@@ -58,10 +58,10 @@ def _keep_fixpoint(iou, scores, valid, iou_thresh: float, iters: int):
     with "only undominated boxes survive" and iterating
         keep <- not dominated-by-any-kept
     converges to the exact greedy solution in (suppression chain depth)
-    steps; `iters` bounds that depth (chains longer than ~8 do not occur
-    with realistic thresholds). Every step is an (N, N) masked matmul —
-    MXU work instead of an N-step sequential scan (measured 115 ms -> ~4 ms
-    for 2000 boxes on one v5e).
+    steps — the dominance graph is acyclic in rank, so the while_loop below
+    runs to the true fixpoint (bounded by n). Every step is an (N, N)
+    masked matmul — MXU work instead of an N-step sequential scan (measured
+    115 ms -> ~4 ms for 2000 boxes on one v5e).
     """
     n = scores.shape[0]
     scores = jnp.where(valid, scores, NEG_INF)
@@ -72,30 +72,42 @@ def _keep_fixpoint(iou, scores, valid, iou_thresh: float, iters: int):
     dom = (iou > iou_thresh) & higher & valid[None, :] & valid[:, None]
     dom = dom.astype(jnp.float32)
 
-    def body(_, keep):
+    def step(keep):
         suppressed = dom @ keep                      # (N,) > 0 if any kept dominator
         return jnp.where(valid, (suppressed < 0.5).astype(jnp.float32), 0.0)
 
-    keep = jax.lax.fori_loop(0, iters, body,
-                             valid.astype(jnp.float32))
+    # run to the fixpoint: every box's value is fixed once all higher-ranked
+    # boxes are (the dominance graph is acyclic), so this terminates in
+    # (suppression chain depth) iterations; `iters` pairs per loop step keep
+    # the convergence check cheap, with a conservative cap of n steps
+    def cond(state):
+        keep, prev, i = state
+        return (i < n) & jnp.any(keep != prev)
+
+    def body(state):
+        keep, _, i = state
+        return step(keep), keep, i + 1
+
+    init = step(valid.astype(jnp.float32))
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (step(init), init, jnp.asarray(0, jnp.int32)))
     return keep > 0.5
 
 
-def nms_parallel(boxes, scores, max_out: int, iou_thresh: float, valid=None,
-                 iters: int = 12):
+def nms_parallel(boxes, scores, max_out: int, iou_thresh: float, valid=None):
     """Greedy-equivalent NMS as a fixpoint of masked matmuls (see
     `_keep_fixpoint`). Same return contract as `nms`."""
     if valid is None:
         valid = jnp.ones(scores.shape, dtype=bool)
     iou = pairwise_iou(boxes, boxes)
-    keep = _keep_fixpoint(iou, scores, valid, iou_thresh, iters)
+    keep = _keep_fixpoint(iou, scores, valid, iou_thresh)
     masked = jnp.where(keep, scores, NEG_INF)
     vals, idx = jax.lax.top_k(masked, max_out)
     return idx, vals > NEG_INF / 2
 
 
 def rotated_nms(boxes5, scores, max_out: int, iou_thresh: float, valid=None,
-                parallel: bool = True, iters: int = 12):
+                parallel: bool = True):
     """Rotated (BEV) NMS. boxes5 (N,5) = (cx, cy, w, l, angle).
 
     Greedy-equivalent parallel fixpoint by default (see `_keep_fixpoint`);
@@ -106,15 +118,9 @@ def rotated_nms(boxes5, scores, max_out: int, iou_thresh: float, valid=None,
     iou = rotated_pairwise_iou(boxes5, boxes5)
     if not parallel:
         return _nms_from_iou(iou, scores, valid, max_out, iou_thresh)
-    keep = _keep_fixpoint(iou, scores, valid, iou_thresh, iters)
+    keep = _keep_fixpoint(iou, scores, valid, iou_thresh)
     masked = jnp.where(keep, scores, NEG_INF)
     vals, idx = jax.lax.top_k(masked, max_out)
     return idx, vals > NEG_INF / 2
 
 
-def topk_with_mask(scores, k: int, valid=None):
-    """Top-k scores and indices with invalid entries pushed to the bottom."""
-    if valid is not None:
-        scores = jnp.where(valid, scores, NEG_INF)
-    vals, idx = jax.lax.top_k(scores, k)
-    return vals, idx, vals > NEG_INF / 2
