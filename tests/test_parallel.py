@@ -15,6 +15,38 @@ def test_mesh_shapes():
     assert mesh1.shape["data"] == 8
 
 
+def test_make_mesh_insufficient_devices_message():
+    import pytest
+    with pytest.raises(ValueError, match="xla_force_host_platform"):
+        make_mesh(16, 2)
+
+
+def test_dryrun_multichip_reexecs_when_too_few_devices(monkeypatch):
+    """The driver calls dryrun_multichip on a 1-chip platform; the function
+    must re-exec itself in a virtual-CPU subprocess rather than crash
+    (VERDICT.md missing #1)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    calls = {}
+
+    def fake_run(cmd, env=None, cwd=None):
+        calls["env"] = env
+        calls["cmd"] = cmd
+
+        class R:
+            returncode = 0
+        return R()
+
+    monkeypatch.setattr(g.subprocess, "run", fake_run)
+    monkeypatch.setattr(g.jax, "devices", lambda: [object()])
+    g.dryrun_multichip(8)
+    assert "--xla_force_host_platform_device_count=8" in calls["env"]["XLA_FLAGS"]
+    assert calls["env"]["JAX_PLATFORMS"] == "cpu"
+    assert "_dryrun_multichip_impl(8)" in calls["cmd"][-1]
+
+
 def test_sharded_pgd_matches_single_device():
     mesh = make_mesh(8, 1)
 
