@@ -1,95 +1,216 @@
-"""Benchmark: white-box PGD attack throughput on DSGN (the framework's hot
-path — full forward + backward through the stereo cost volumes per
-iteration, at the reference's full 384x1248 resolution).
+"""Benchmarks for the framework's hot paths, all at the reference's full
+resolutions on one chip:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* headline: white-box PGD attack throughput on PAPER-SCALE DSGN
+  (`DSGNConfig.full()`: 96 depth planes, 304x288x10 voxels — the model the
+  V100 baseline below was measured on), full fwd+bwd per iteration at
+  384x1248.
+* extras (in the same JSON line, under "extra"):
+  - dsgn_clean_pairs_per_sec     — forward-only DSGN inference (BASELINE.md
+                                   target unit)
+  - srcnn_attack_iters_per_sec   — Stereo R-CNN fwd+bwd through the 6-term
+                                   loss at 600x1984
+  - srcnn_inference_imgs_per_sec — Stereo R-CNN infer-mode forward
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 Baseline derivation (BASELINE.md): the reference's only recorded end-to-end
 number is ~24 h for universal-patch training with debugnum=50, epochs=80,
 iters=2/batch on a V100 (/root/reference/attack/DSGN/README.md:14,81)
 = 50*80*2 = 8000 attack iterations / 86400 s = 0.0926 attack-iters/s.
 Each attack iteration = one fwd+bwd of the full DSGN at 1x3x384x1248, the
-same unit this benchmark measures, so vs_baseline = value / 0.0926.
+same unit the headline measures, so vs_baseline = value / 0.0926. The
+Stereo R-CNN scripts publish no timing (T4, README.md:14) — extras carry
+no vs_baseline.
 """
 from __future__ import annotations
 
 import json
+import math
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 REFERENCE_ITERS_PER_SEC = 8000.0 / (24 * 3600.0)   # V100, see docstring
+
+
+def _time(fn, n_iters, *state):
+    """Warm up once (compile), then time n_iters chained calls."""
+    state = fn(*state)
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+        else x, state)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state = fn(*state)
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+        else x, state)
+    return n_iters / (time.perf_counter() - t0)
+
+
+def bench_dsgn(iters: int, tiny: bool, attack: bool) -> float:
+    from eval_driving_safety_tpu.config import DSGNConfig
+    from eval_driving_safety_tpu.models.dsgn import DSGN
+    from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
+
+    cfg = DSGNConfig.tiny() if tiny else DSGNConfig.full()
+    model = DSGN(cfg)
+    k = jax.random.PRNGKey(0)
+    h, w = cfg.height, cfg.width
+    im_l = jax.random.uniform(jax.random.fold_in(k, 1), (1, h, w, 3))
+    im_r = jax.random.uniform(jax.random.fold_in(k, 2), (1, h, w, 3))
+    calib = (jnp.full((1,), 720.0), jnp.full((1,), 0.54),
+             jnp.full((1,), w / 2.0), jnp.full((1,), h / 2.0))
+    params = jax.jit(model.init)(jax.random.fold_in(k, 3), im_l, im_r,
+                                 *calib)
+    boxes = jnp.zeros((1, 8, 8)).at[:, 0].set(
+        jnp.array([2.0, 1.6, 20.0, 1.5, 1.7, 4.0, 0.3, 1.0]))
+    num_boxes = jnp.ones((1,), jnp.int32)
+    depth_gt = jnp.full((1, h, w), 20.0)
+
+    if attack:
+        def loss_fn(p, il, ir):
+            out = model.apply(p, il, ir, *calib)
+            total, _ = dsgn_total_loss(out, depth_gt, boxes, num_boxes, cfg)
+            return total
+
+        @jax.jit
+        def pgd_iter(il, ir):
+            loss, (gl, gr) = jax.value_and_grad(
+                loss_fn, argnums=(1, 2))(params, il, ir)
+            alpha = 1.0 / 255.0
+            return (jnp.clip(il + alpha * jnp.sign(gl), 0.0, 1.0),
+                    jnp.clip(ir + alpha * jnp.sign(gr), 0.0, 1.0))
+
+        return _time(pgd_iter, iters, im_l, im_r)
+
+    @jax.jit
+    def fwd(il, ir):
+        out = model.apply(params, il, ir, *calib)
+        # tiny feedback term chains iterations without host sync while
+        # keeping the forward pass live (not constant-foldable)
+        d = out["depth_preds"][-1]
+        return il + 1e-12 * d[..., None], ir
+
+    return _time(fwd, iters, im_l, im_r)
+
+
+def _srcnn_setup(tiny: bool):
+    from eval_driving_safety_tpu.config import StereoRCNNConfig
+    from eval_driving_safety_tpu.models.stereo_rcnn import StereoRCNN
+
+    cfg = StereoRCNNConfig.tiny() if tiny else StereoRCNNConfig()
+    model = StereoRCNN(cfg)
+    h, w = cfg.input.height, cfg.input.width
+    k = jax.random.PRNGKey(0)
+    il = jax.random.uniform(jax.random.fold_in(k, 1), (1, h, w, 3),
+                            minval=-100.0, maxval=150.0)
+    ir = jax.random.uniform(jax.random.fold_in(k, 2), (1, h, w, 3),
+                            minval=-100.0, maxval=150.0)
+    g = cfg.max_gt_boxes
+    gt = {
+        "gt_left": jnp.zeros((1, g, 5)).at[0, 0].set(
+            jnp.array([0.45 * w, 0.4 * h, 0.55 * w, 0.6 * h, 1.0])),
+        "gt_right": jnp.zeros((1, g, 5)).at[0, 0].set(
+            jnp.array([0.44 * w, 0.4 * h, 0.54 * w, 0.6 * h, 1.0])),
+        "gt_merge": jnp.zeros((1, g, 4)).at[0, 0].set(
+            jnp.array([0.44 * w, 0.4 * h, 0.55 * w, 0.6 * h])),
+        "gt_dim_orien": jnp.zeros((1, g, 5)).at[0, 0].set(
+            jnp.array([1.5, 1.7, 4.0, math.sin(0.1), math.cos(0.1)])),
+        "gt_kpts": jnp.full((1, g, 6), -1.0).at[0, 0].set(
+            jnp.array([1.0, 0.5 * w, 0.45 * w, 0.55 * w, 0.0, 0.0])),
+        "num_boxes": jnp.ones((1,), jnp.int32),
+    }
+    return cfg, model, il, ir, gt
+
+
+def bench_srcnn_attack(iters: int, tiny: bool) -> float:
+    from eval_driving_safety_tpu.models.stereo_rcnn import total_attack_loss
+
+    cfg, model, il, ir, gt = _srcnn_setup(tiny)
+    rng = jax.random.PRNGKey(3)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), il, ir, gt=gt, rng=rng, mode="attack"))()
+    uncert = jnp.zeros((6,))
+
+    def loss_fn(l, r):
+        out = model.apply(variables, l, r, gt=gt, rng=rng, mode="attack")
+        return total_attack_loss(out.losses, uncert)
+
+    @jax.jit
+    def pgd_iter(l, r):
+        _, (gl, gr) = jax.value_and_grad(loss_fn, argnums=(0, 1))(l, r)
+        return l + jnp.sign(gl), r + jnp.sign(gr)
+
+    return _time(pgd_iter, iters, il, ir)
+
+
+def bench_srcnn_infer(iters: int, tiny: bool) -> float:
+    cfg, model, il, ir, _ = _srcnn_setup(tiny)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), il, ir, mode="infer"))()
+
+    @jax.jit
+    def fwd(l, r):
+        out = model.apply(variables, l, r, mode="infer")
+        return l + 1e-12 * out.cls_prob.sum(), r
+
+    return _time(fwd, iters, il, ir)
 
 
 def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default=None,
-                    help="write a jax.profiler trace to this directory")
+                    help="write a jax.profiler trace of the headline "
+                         "benchmark to this directory")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny configs (CI smoke; numbers not comparable)")
+    ap.add_argument("--only", default=None,
+                    choices=("headline", "dsgn_fwd", "srcnn_attack",
+                             "srcnn_infer"))
     args = ap.parse_args()
 
-    from eval_driving_safety_tpu.config import DSGNConfig
-    from eval_driving_safety_tpu.models.dsgn import DSGN
-    from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
+    extra = {}
 
-    batch = 1
-    cfg = DSGNConfig()
-    model = DSGN(cfg)
-    k = jax.random.PRNGKey(0)
-    h, w = cfg.height, cfg.width
-    im_l = jax.random.uniform(jax.random.fold_in(k, 1), (batch, h, w, 3))
-    im_r = jax.random.uniform(jax.random.fold_in(k, 2), (batch, h, w, 3))
-    calib = (jnp.full((batch,), 720.0), jnp.full((batch,), 0.54),
-             jnp.full((batch,), w / 2.0), jnp.full((batch,), h / 2.0))
-    params = model.init(jax.random.fold_in(k, 3), im_l, im_r, *calib)
-    boxes = jnp.zeros((batch, 8, 8)).at[:, 0].set(
-        jnp.array([2.0, 1.6, 20.0, 1.5, 1.7, 4.0, 0.3, 1.0]))
-    num_boxes = jnp.ones((batch,), jnp.int32)
-    depth_gt = jnp.full((batch, h, w), 20.0)
+    def run(name, fn):
+        if args.only and args.only != name:
+            return None
+        try:
+            return fn()
+        except Exception as e:                      # pragma: no cover
+            extra[f"{name}_error"] = f"{type(e).__name__}: {e}"
+            return None
 
-    def loss_fn(p, il, ir):
-        out = model.apply(p, il, ir, *calib)
-        total, _ = dsgn_total_loss(out, depth_gt, boxes, num_boxes, cfg)
-        return total
-
-    @jax.jit
-    def pgd_iter_p(p, il, ir):
-        loss, (gl, gr) = jax.value_and_grad(
-            loss_fn, argnums=(1, 2))(p, il, ir)
-        alpha = 1.0 / 255.0
-        return (jnp.clip(il + alpha * jnp.sign(gl), 0.0, 1.0),
-                jnp.clip(ir + alpha * jnp.sign(gr), 0.0, 1.0), loss)
-
-    def pgd_iter(il, ir):
-        return pgd_iter_p(params, il, ir)
-
-    # warmup/compile
-    al, ar, loss = pgd_iter(im_l, im_r)
-    al.block_until_ready()
-
-    n_iters = args.iters
     if args.profile:
         with jax.profiler.trace(args.profile):
-            t0 = time.perf_counter()
-            for _ in range(n_iters):
-                al, ar, loss = pgd_iter(al, ar)
-            al.block_until_ready()
-            dt = time.perf_counter() - t0
+            headline = run("headline",
+                           lambda: bench_dsgn(args.iters, args.tiny, True))
     else:
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            al, ar, loss = pgd_iter(al, ar)
-        al.block_until_ready()
-        dt = time.perf_counter() - t0
+        headline = run("headline",
+                       lambda: bench_dsgn(args.iters, args.tiny, True))
 
-    iters_per_sec = n_iters * batch / dt
+    v = run("dsgn_fwd", lambda: bench_dsgn(args.iters, args.tiny, False))
+    if v:
+        extra["dsgn_clean_pairs_per_sec"] = round(v, 4)
+    v = run("srcnn_attack", lambda: bench_srcnn_attack(args.iters, args.tiny))
+    if v:
+        extra["srcnn_attack_iters_per_sec"] = round(v, 4)
+    v = run("srcnn_infer", lambda: bench_srcnn_infer(args.iters, args.tiny))
+    if v:
+        extra["srcnn_inference_imgs_per_sec"] = round(v, 4)
+
     print(json.dumps({
         "metric": "dsgn_pgd_attack_iters_per_sec",
-        "value": round(iters_per_sec, 4),
-        "unit": "fwd+bwd iters/s @ 384x1248",
-        "vs_baseline": round(iters_per_sec / REFERENCE_ITERS_PER_SEC, 2),
+        "value": round(headline, 4) if headline else None,
+        "unit": "fwd+bwd iters/s @ 384x1248, paper-scale DSGNConfig.full()",
+        "vs_baseline": (round(headline / REFERENCE_ITERS_PER_SEC, 2)
+                        if headline else None),
+        "extra": extra,
     }))
 
 

@@ -33,18 +33,61 @@ def make_dataset(args):
     return ds
 
 
-def load_params(model, init_fn, ckpt: Optional[str]):
-    """orbax checkpoint if given, else fresh init (random weights —
-    useful for pipeline smoke runs; detection parity needs real weights)."""
+def load_params(model, init_fn, ckpt: Optional[str], return_aux: bool = False):
+    """Load detector weights.
+
+    Three paths:
+    * `.pth` / `.tar` — published PyTorch checkpoint, converted via
+      utils.torch_import (the reference's weight source,
+      /root/reference/attack/Stereo-RCNN/pgd_attack.py:93-97). Stereo R-CNN
+      imports the FULL tree; aux carries the checkpoint's `uncert` vector.
+    * any other path — orbax checkpoint from this framework's trainers.
+    * None — fresh init (random weights; pipeline smoke runs only).
+
+    With return_aux=True returns (params, aux_dict).
+    """
     params = init_fn()
-    if ckpt:
+    aux = {}
+    if ckpt and (ckpt.endswith(".pth") or ckpt.endswith(".tar")):
+        from eval_driving_safety_tpu.utils import torch_import as TI
+        sd, uncert = TI.load_torch_state_dict(ckpt)
+        if uncert is not None:
+            aux["uncert"] = uncert
+        name = type(model).__name__
+        if name == "StereoRCNN":
+            imported = TI.import_stereo_rcnn(sd)
+            if imported["unmapped"]:
+                log(f"WARNING: {len(imported['unmapped'])} torch keys "
+                    f"unmapped: {imported['unmapped'][:8]}...")
+            params = TI.graft_stereo_rcnn(dict(params), imported)
+            log(f"imported torch checkpoint {ckpt} "
+                f"(kpts convs={imported['num_kpts_convs']}, "
+                f"unmapped={len(imported['unmapped'])})")
+        else:
+            raise SystemExit(
+                f"torch import for {name} is not supported; train with "
+                "cli.train_detector or pass an orbax checkpoint "
+                "(see PARITY.md 'checkpoint ingestion')")
+    elif ckpt:
         from eval_driving_safety_tpu.utils.checkpoint import \
             restore_checkpoint
-        params = restore_checkpoint(ckpt, template=params)
+        restored = restore_checkpoint(ckpt)
+        if isinstance(restored, dict) and "opt_state" in restored:
+            # trainer checkpoint: {params, [uncert,] opt_state, epoch}
+            if restored.get("uncert") is not None:
+                aux["uncert"] = restored["uncert"]
+            restored = restored["params"]
+        if isinstance(restored, dict) and "params" in restored:
+            params = restored            # full variables dict was saved
+        else:
+            # bare params collection: keep init's other collections
+            # (e.g. the SRCNN anchor-table constants)
+            params = dict(params)
+            params["params"] = restored
         log(f"restored checkpoint from {ckpt}")
     else:
         log("WARNING: no --ckpt given; using randomly initialized weights")
-    return params
+    return (params, aux) if return_aux else params
 
 
 def log(msg: str, **fields):

@@ -193,11 +193,16 @@ def run_srcnn(args):
         gt = make_gt_batch(b["objects"], b["calibs"], cfg,
                            image_scale=b["scales"])
         if params is None:
-            params = load_params(model, lambda: model.init(
+            params, aux = load_params(model, lambda: model.init(
                 jax.random.PRNGKey(0), jnp.asarray(b["im_left"][:1]),
                 jnp.asarray(b["im_right"][:1]),
                 gt=jax.tree_util.tree_map(lambda x: x[:1], gt), rng=rng,
-                mode="attack"), args.ckpt)
+                mode="attack"), args.ckpt, return_aux=True)
+            if "uncert" in aux:
+                # the published checkpoint's 6-vector weighting the attack
+                # loss (reference pgd_attack.py:165-171)
+                uncert = jnp.asarray(aux["uncert"])
+                log(f"using checkpoint uncert={np.asarray(uncert).round(3)}")
         sh = _shard_arrays({"il": b["im_left"], "ir": b["im_right"],
                             "gt": gt})
         res = attack(params, sh["il"], sh["ir"], sh["gt"])

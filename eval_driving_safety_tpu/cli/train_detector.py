@@ -1,16 +1,23 @@
-"""DSGN detector training CLI.
+"""Detector training CLI — DSGN and Stereo R-CNN.
 
 The reference only *loads* published detector weights
-(/root/reference/attack/DSGN/pgd_attack.py:142-145) — training lives in the
-un-vendored upstream repos. This framework's loss stack is end-to-end
+(/root/reference/attack/DSGN/pgd_attack.py:142-145,
+/root/reference/attack/Stereo-RCNN/pgd_attack.py:93-97) — training lives in
+the un-vendored upstream repos. This framework's loss stacks are end-to-end
 differentiable in one jit region, so detector training is a first-class
-capability: jitted optax step over (disparity + RPN3D) losses, batch
-sharding over the mesh, orbax epoch checkpoints with resume.
+capability: jitted optax steps, batch sharding over the mesh, orbax epoch
+checkpoints with resume. For Stereo R-CNN the 6-term uncertainty weights
+(the `uncert` vector the published checkpoint carries) are trained jointly
+with the network, exactly the multi-task scheme the checkpoint's vector
+came from.
 
 Usage:
-  python -m eval_driving_safety_tpu.cli.train_detector \
+  python -m eval_driving_safety_tpu.cli.train_detector --detector dsgn \
       --data_path KITTI/object/training --split_file train.txt \
       --depth_dir depth_gt --epochs 20 --batch 2 --ckpt_dir ckpts/dsgn
+  python -m eval_driving_safety_tpu.cli.train_detector --detector srcnn \
+      --data_path KITTI/object/training --split_file train.txt \
+      --epochs 12 --ckpt_dir ckpts/srcnn
 """
 from __future__ import annotations
 
@@ -24,41 +31,47 @@ import optax
 
 from eval_driving_safety_tpu.cli.common import (add_dataset_args, log,
                                                 make_dataset)
-from eval_driving_safety_tpu.config import DSGNConfig
+from eval_driving_safety_tpu.config import DSGNConfig, StereoRCNNConfig
 
 
-def parse_args():
+def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_dataset_args(p)
+    p.add_argument("--detector", choices=("dsgn", "srcnn"), default="dsgn")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--warmup_steps", type=int, default=200)
     p.add_argument("--depth_dir", default=None,
-                   help="depth gt .npy dir (cli.make_depth_gt); without it "
-                        "only the detection losses train")
-    p.add_argument("--ckpt_dir", default="dsgn_ckpts")
+                   help="dsgn: depth gt .npy dir (cli.make_depth_gt); "
+                        "without it only the detection losses train")
+    p.add_argument("--ckpt_dir", default=None,
+                   help="default: {detector}_ckpts")
     p.add_argument("--ckpt_every", type=int, default=5)
     p.add_argument("--resume", action="store_true",
                    help="resume from the newest epochN checkpoint")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
-def main():
-    args = parse_args()
+def _ckpt_io():
+    from eval_driving_safety_tpu.utils.checkpoint import (
+        latest_epoch_dir, restore_checkpoint, save_checkpoint)
+    return latest_epoch_dir, restore_checkpoint, save_checkpoint
+
+
+def run_dsgn(args):
     from eval_driving_safety_tpu.data.dataset import (dsgn_boxes3d,
                                                       prepare_dsgn_batch)
     from eval_driving_safety_tpu.models.dsgn import DSGN
     from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
-    from eval_driving_safety_tpu.utils.checkpoint import (latest_epoch_dir,
-                                                          restore_checkpoint,
-                                                          save_checkpoint)
+    latest_epoch_dir, restore_checkpoint, save_checkpoint = _ckpt_io()
 
     cfg = DSGNConfig.tiny() if args.tiny else DSGNConfig()
     model = DSGN(cfg)
     ds = make_dataset(args)
+    ckpt_dir = args.ckpt_dir or "dsgn_ckpts"
     mean = np.asarray(cfg.input.mean, np.float32)
     std = np.asarray(cfg.input.std, np.float32)
     sched = optax.warmup_cosine_decay_schedule(
@@ -97,7 +110,7 @@ def main():
                     *(c[:1] for c in calib))
                 opt_state = tx.init(params)
                 if args.resume:
-                    newest = latest_epoch_dir(args.ckpt_dir)
+                    newest = latest_epoch_dir(ckpt_dir)
                     if newest:
                         ck = restore_checkpoint(newest, template={
                             "params": params, "opt_state": opt_state,
@@ -114,10 +127,101 @@ def main():
         e = start_epoch + epoch + 1
         log(f"epoch {e}: loss {np.mean(losses):.4f}")
         if e % args.ckpt_every == 0 or epoch == args.epochs - 1:
-            path = os.path.join(args.ckpt_dir, f"epoch{e}")
+            path = os.path.join(ckpt_dir, f"epoch{e}")
             save_checkpoint(path, {"params": params, "opt_state": opt_state,
                                    "epoch": np.int32(e)})
             log(f"  checkpoint -> {path}")
+
+
+def run_srcnn(args):
+    """Stereo R-CNN training: joint (network, uncert) descent on the 6-term
+    loss sum_i loss_i*exp(-u_i) + u_i — the multi-task weighting whose
+    learned `uncert` the published checkpoint ships
+    (/root/reference/attack/Stereo-RCNN/pgd_attack.py:96)."""
+    from eval_driving_safety_tpu.data.dataset import prepare_srcnn_batch
+    from eval_driving_safety_tpu.models.stereo_rcnn import (
+        StereoRCNN, make_gt_batch, total_attack_loss)
+    latest_epoch_dir, restore_checkpoint, save_checkpoint = _ckpt_io()
+
+    cfg = StereoRCNNConfig.tiny() if args.tiny else StereoRCNNConfig()
+    model = StereoRCNN(cfg)
+    ds = make_dataset(args)
+    ckpt_dir = args.ckpt_dir or "srcnn_ckpts"
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, args.warmup_steps,
+        max(args.epochs * max(len(ds) // args.batch, 1), args.warmup_steps + 1))
+    tx = optax.adamw(sched, weight_decay=1e-4)
+
+    # constants (the anchor table) ride as a runtime argument: they must
+    # neither receive optimizer updates nor be baked into the jitted
+    # program as literals (see models/stereo_rcnn.py anchor_table note)
+    @jax.jit
+    def train_step(state, constants, opt_state, il, ir, gt, rng):
+        def loss_fn(st):
+            out = model.apply({"params": st["params"], **constants},
+                              il, ir, gt=gt, rng=rng, mode="attack")
+            return total_attack_loss(out.losses, st["uncert"]), out.losses
+
+        (total, parts), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state)
+        updates, opt_state = tx.update(grads, opt_state, state)
+        return optax.apply_updates(state, updates), opt_state, total, parts
+
+    state = opt_state = constants = None
+    start_epoch = 0
+    rng = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(args.epochs):
+        losses = []
+        for samples in ds.batches(args.batch, drop_remainder=True):
+            b = prepare_srcnn_batch(samples, cfg.input)
+            gt = make_gt_batch(b["objects"], b["calibs"], cfg,
+                               image_scale=b["scales"])
+            if state is None:
+                variables = jax.jit(
+                    lambda il, ir, g, r: model.init(
+                        jax.random.PRNGKey(args.seed), il, ir, gt=g, rng=r,
+                        mode="attack"))(
+                    jnp.asarray(b["im_left"][:1]),
+                    jnp.asarray(b["im_right"][:1]),
+                    jax.tree_util.tree_map(lambda x: x[:1], gt), rng)
+                variables = dict(variables)
+                constants = {k: v for k, v in variables.items()
+                             if k != "params"}
+                state = {"params": variables["params"],
+                         "uncert": jnp.zeros((6,))}
+                opt_state = tx.init(state)
+                if args.resume:
+                    newest = latest_epoch_dir(ckpt_dir)
+                    if newest:
+                        ck = restore_checkpoint(newest, template={
+                            "params": state["params"],
+                            "uncert": state["uncert"],
+                            "opt_state": opt_state, "epoch": np.int32(0)})
+                        state = {"params": ck["params"],
+                                 "uncert": ck["uncert"]}
+                        opt_state = ck["opt_state"]
+                        start_epoch = int(ck["epoch"])
+                        log(f"resumed from {newest} (epoch {start_epoch})")
+            rng, step_rng = jax.random.split(rng)
+            state, opt_state, total, parts = train_step(
+                state, constants, opt_state, jnp.asarray(b["im_left"]),
+                jnp.asarray(b["im_right"]), gt, step_rng)
+            losses.append(float(total))
+        e = start_epoch + epoch + 1
+        log(f"epoch {e}: loss {np.mean(losses):.4f} "
+            f"uncert {np.asarray(state['uncert']).round(3).tolist()}")
+        if e % args.ckpt_every == 0 or epoch == args.epochs - 1:
+            path = os.path.join(ckpt_dir, f"epoch{e}")
+            save_checkpoint(path, {"params": state["params"],
+                                   "uncert": state["uncert"],
+                                   "opt_state": opt_state,
+                                   "epoch": np.int32(e)})
+            log(f"  checkpoint -> {path}")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    (run_dsgn if args.detector == "dsgn" else run_srcnn)(args)
 
 
 if __name__ == "__main__":

@@ -141,21 +141,26 @@ class KeypointHead(nn.Module):
     Mirrors the reference's conv stack + column-sum over rows
     (stereo_rcnn.py:258-273): 6 channels = 4 perspective-keypoint types +
     left border + right border, each a G-bin distribution over roi columns.
+    Layer structure is import-compatible with the upstream `RCNN_kpts`
+    Sequential (3x3 conv stack + 2x2 stride-2 ConvTranspose) followed by the
+    `kpts_class` 1x1 conv, so the published checkpoint's keypoint weights
+    map one-to-one (utils.torch_import.convert_stereo_rcnn_checkpoint).
     """
     kpts_grid: int = 28
     channels: int = 256
+    num_convs: int = 4
     dtype = jnp.float32
 
     @nn.compact
     def __call__(self, pooled):  # (N, 2P, 2P, C)
         x = pooled
-        for i in range(3):
+        for i in range(self.num_convs):
             x = nn.relu(nn.Conv(self.channels, (3, 3), padding="SAME",
                                 dtype=self.dtype, name=f"kpts_conv{i+1}")(x))
-        n, h, w, _ = x.shape
-        x = upsample_bilinear(x, self.kpts_grid, self.kpts_grid)
-        x = nn.relu(nn.Conv(self.channels, (3, 3), padding="SAME",
-                            dtype=self.dtype, name="kpts_conv_up")(x))
+        x = nn.relu(nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2),
+                                     dtype=self.dtype, name="kpts_deconv")(x))
+        if x.shape[1] != self.kpts_grid:
+            x = upsample_bilinear(x, self.kpts_grid, self.kpts_grid)
         logits = nn.Conv(6, (1, 1), dtype=self.dtype, name="kpts_class")(x)
         # sum over rows -> per-column distribution, (N, G, 6) -> (N, 6, G)
         return logits.sum(axis=1).transpose(0, 2, 1)
@@ -182,7 +187,8 @@ class StereoRCNN(nn.Module):
         self.fpn = FPN(out_channels=self.cfg.fpn_channels)
         self.rpn = StereoRPNHead(num_anchors=len(self.cfg.anchor_ratios))
         self.rcnn = RCNNHead(num_classes=self.cfg.num_classes)
-        self.kpts = KeypointHead(kpts_grid=self.cfg.kpts_grid)
+        self.kpts = KeypointHead(kpts_grid=self.cfg.kpts_grid,
+                                 num_convs=self.cfg.kpts_convs)
 
     def extract_pyramids(self, im_left, im_right):
         c2l, c3l, c4l, c5l = self.backbone(im_left)

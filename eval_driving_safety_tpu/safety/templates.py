@@ -2,11 +2,13 @@
 
 Capability parity: the six hand-built template XMLs
 (/root/reference/evaluation/init_scenario/{left,right,straight}/
-initial_scenario_{6_8,11_13}.xml): a straight multi-lane road (bounds at
-±43.75, x from -10 to 189, 1 m point spacing), planning problem id=100 with
-ego at (0,0) v=0 and a 5 x 3.5 m goal rectangle at x=15,
-y in {0 (straight), +3.5 (left), -3.5 (right)}, t in [4,30], goal velocity
-in [6,8] (street) or [11,13] (highway), orientation in [-0.5, 0.5].
+initial_scenario_{6_8,11_13}.xml): a straight 27-lanelet road (3.5 m lanes
+covering y in [-47.25, 47.25], x from -10 to 189, 1 m point spacing, 200
+points per bound), planning problem id=100 with ego at (0,0) v=0 and a
+5 x 3.5 m goal rectangle at x=15, y in {0 (straight), +3.5 (left),
+-3.5 (right)}, t in [4,30], goal velocity in [6,8] (street) or [11,13]
+(highway), orientation in [-0.5, 0.5]. Geometry is asserted against the
+real reference files in tests/test_reference_interop.py.
 
 Instead of vendoring 43k-line XMLs, the road is generated; `write_templates`
 materializes all six files for file-level interop.
@@ -22,7 +24,7 @@ from eval_driving_safety_tpu.safety.commonroad_io import (
     State, write_scenario)
 
 LANE_WIDTH = 3.5
-ROAD_Y_HALF = 43.75                    # template bound extent
+ROAD_Y_HALF = 47.25                    # outermost bounds: 27 x 3.5 m lanes
 ROAD_X = (-10.0, 189.0)
 GOAL_Y = {"straight": 0.0, "left": LANE_WIDTH, "right": -LANE_WIDTH}
 V_BANDS = {"6_8": (6.0, 8.0), "11_13": (11.0, 13.0)}

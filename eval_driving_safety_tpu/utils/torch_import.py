@@ -49,6 +49,21 @@ def conv_kernel(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))
 
 
+def deconv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (in, out, kH, kW) -> flax nn.ConvTranspose
+    (kH, kW, in, out). flax's conv_transpose does not flip the kernel while
+    torch's is the conv gradient (flipped), so flip the spatial axes
+    (verified exact vs torch for the 2x2/stride-2 case)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
+
+
+def conv_as_dense_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d (O, C, kH, kW) applied at full kernel extent ==
+    flax Dense over the NHWC flatten: kernel[(i*kW + j)*C + c, o]."""
+    o = w.shape[0]
+    return np.transpose(w, (2, 3, 1, 0)).reshape(-1, o)
+
+
 def dense_kernel(w: np.ndarray) -> np.ndarray:
     """(out, in) -> (in, out)."""
     return np.transpose(w, (1, 0))
@@ -130,6 +145,15 @@ def merge_into(params_tree: Dict, subtree: Dict, path: Tuple[str, ...]):
     return out
 
 
+def strip_module_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Remove a DataParallel 'module.' prefix if every key carries it (the
+    DSGN .tar is saved wrapped — /root/reference/attack/DSGN/
+    predict_and_save_pgd.py:161-166 loads after nn.DataParallel)."""
+    if sd and all(k.startswith("module.") for k in sd):
+        return {k[len("module."):]: v for k, v in sd.items()}
+    return sd
+
+
 def convert_stereo_rcnn_checkpoint(sd: Dict[str, np.ndarray],
                                    num_anchors: int = 3) -> Dict[str, Any]:
     """Map the published Stereo R-CNN checkpoint's backbone + FPN + RPN onto
@@ -144,10 +168,9 @@ def convert_stereo_rcnn_checkpoint(sd: Dict[str, np.ndarray],
     RPN cls channels are reordered from upstream's class-major (bg*A, fg*A)
     layout to this framework's anchor-major (A, 2) layout.
 
-    The per-roi heads (RCNN_top, bbox/dim_orien/kpts) are a TPU-first
-    redesign here and are NOT mapped — returns a partial params dict
-    {"backbone": ..., "fpn": ..., "rpn": ...} to graft into a model.init
-    tree; the heads keep their initialization (fine-tune or retrain).
+    Returns a partial params dict {"backbone", "fpn", "rpn"}; use
+    `convert_stereo_rcnn_heads` for the per-roi heads and
+    `import_stereo_rcnn` for the whole tree with key accounting.
     """
     backbone: Dict[str, Any] = {
         "stem_conv": {"kernel": conv_kernel(sd["RCNN_layer0.0.weight"])},
@@ -187,3 +210,104 @@ def convert_stereo_rcnn_checkpoint(sd: Dict[str, np.ndarray],
         "rpn_box": conv_wb("RCNN_rpn.RPN_bbox_pred_left_right"),
     }
     return {"backbone": backbone, "fpn": fpn, "rpn": rpn}
+
+
+def convert_stereo_rcnn_heads(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map the published checkpoint's per-roi heads onto RCNNHead /
+    KeypointHead params.
+
+    Upstream layout (HKUST Stereo-RCNN resnet.py, whose use is pinned by the
+    vendored forward at /root/reference/attack/Stereo-RCNN/
+    stereo_rcnn.py:253-273):
+      RCNN_top        = Sequential(Conv2d(512,1024,P,stride=P), ReLU,
+                                   Conv2d(1024,1024,1), ReLU)  — _head_to_tail
+      RCNN_cls_score  = Linear(1024, C)
+      RCNN_bbox_pred  = Linear(1024, 6C)
+      RCNN_dim_orien_pred = Linear(1024, 5C)
+      RCNN_kpts       = Sequential of 3x3 convs (+ReLU) ending in a
+                        ConvTranspose2d(256,256,2,stride=2) (+ReLU)
+      kpts_class      = Conv2d(256, 6, 1)
+
+    The RCNN_top convs act at full kernel extent (P x P input), so they are
+    exactly Dense layers over the NHWC flatten (conv_as_dense_kernel);
+    RCNN_kpts conv indices are discovered from the state dict, so 3- and
+    4-conv variants both import. Returns {"rcnn": ..., "kpts": ...,
+    "num_kpts_convs": int}.
+    """
+    rcnn = {
+        "fc1": {"kernel": conv_as_dense_kernel(sd["RCNN_top.0.weight"]),
+                "bias": sd["RCNN_top.0.bias"]},
+        "fc2": {"kernel": conv_as_dense_kernel(sd["RCNN_top.2.weight"]),
+                "bias": sd["RCNN_top.2.bias"]},
+        "cls_score": {"kernel": dense_kernel(sd["RCNN_cls_score.weight"]),
+                      "bias": sd["RCNN_cls_score.bias"]},
+        "bbox_pred": {"kernel": dense_kernel(sd["RCNN_bbox_pred.weight"]),
+                      "bias": sd["RCNN_bbox_pred.bias"]},
+        "dim_orien_pred": {
+            "kernel": dense_kernel(sd["RCNN_dim_orien_pred.weight"]),
+            "bias": sd["RCNN_dim_orien_pred.bias"]},
+    }
+    kpts: Dict[str, Any] = {}
+    n_convs = 0
+    idx = 0
+    while f"RCNN_kpts.{idx}.weight" in sd:
+        w = sd[f"RCNN_kpts.{idx}.weight"]
+        b = sd[f"RCNN_kpts.{idx}.bias"]
+        if w.shape[2] == 3:                      # 3x3 conv
+            n_convs += 1
+            kpts[f"kpts_conv{n_convs}"] = {"kernel": conv_kernel(w),
+                                           "bias": b}
+        else:                                    # 2x2 stride-2 deconv
+            kpts["kpts_deconv"] = {"kernel": deconv_kernel(w), "bias": b}
+        idx += 2                                 # skip the interleaved ReLU
+    kpts["kpts_class"] = {"kernel": conv_kernel(sd["kpts_class.weight"]),
+                          "bias": sd["kpts_class.bias"]}
+    return {"rcnn": rcnn, "kpts": kpts, "num_kpts_convs": n_convs}
+
+
+# keys a full Stereo R-CNN import is allowed to leave unread: torch BN
+# bookkeeping, and anchor/config buffers some forks stash in the state dict
+_IGNORABLE = ("num_batches_tracked",)
+
+
+def import_stereo_rcnn(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Full-tree import of a published Stereo R-CNN state dict.
+
+    Returns {"params": {backbone, fpn, rpn, rcnn, kpts}, "num_kpts_convs",
+    "unmapped": [keys the converter did not consume]} — an empty `unmapped`
+    list is the zero-unmapped-keys contract the parity path asserts.
+    """
+    sd = strip_module_prefix(sd)
+    rec = _ReadRecorder(sd)
+    trunk = convert_stereo_rcnn_checkpoint(rec)
+    heads = convert_stereo_rcnn_heads(rec)
+    params = dict(trunk)
+    params["rcnn"] = heads["rcnn"]
+    params["kpts"] = heads["kpts"]
+    unmapped = sorted(
+        k for k in sd
+        if k not in rec.read and not any(t in k for t in _IGNORABLE))
+    return {"params": params, "num_kpts_convs": heads["num_kpts_convs"],
+            "unmapped": unmapped}
+
+
+class _ReadRecorder(dict):
+    """dict that records which keys a converter actually read — exact
+    unmapped-key accounting for `import_stereo_rcnn`."""
+
+    def __init__(self, base):
+        super().__init__(base)
+        self.read = set()
+
+    def __getitem__(self, k):
+        self.read.add(k)
+        return super().__getitem__(k)
+
+
+def graft_stereo_rcnn(init_tree: Dict, imported: Dict[str, Any]) -> Dict:
+    """Graft a full import (from `import_stereo_rcnn`) into a
+    StereoRCNN.init tree, preserving non-param collections (constants)."""
+    out = init_tree
+    for name in ("backbone", "fpn", "rpn", "rcnn", "kpts"):
+        out = merge_into(out, imported["params"][name], (name,))
+    return out

@@ -145,15 +145,117 @@ def test_dense_kernel_and_state_dict_loader(tmp_path):
     np.testing.assert_allclose(uncert, np.arange(6, dtype=np.float32))
 
 
-def test_stereo_rcnn_checkpoint_conversion_shapes():
-    """Synthetic upstream-shaped state dict maps onto the flax tree and the
-    resulting params run a forward pass."""
-    from eval_driving_safety_tpu.config import StereoRCNNConfig
-    from eval_driving_safety_tpu.models.stereo_rcnn import StereoRCNN
+def test_rcnn_head_import_numerical():
+    """Upstream RCNN_top (conv PxP + conv 1x1) + Linear heads == flax
+    RCNNHead with converted params (stereo_rcnn.py:253-257 usage)."""
+    from eval_driving_safety_tpu.models.stereo_rcnn import RCNNHead
     from eval_driving_safety_tpu.utils.torch_import import \
-        convert_stereo_rcnn_checkpoint
+        convert_stereo_rcnn_heads
 
-    cfg = StereoRCNNConfig.tiny()
+    P, cin, hidden, ncls = 4, 6, 16, 2
+    top = tnn.Sequential(tnn.Conv2d(cin, hidden, P, stride=P), tnn.ReLU(True),
+                         tnn.Conv2d(hidden, hidden, 1), tnn.ReLU(True))
+    cls = tnn.Linear(hidden, ncls)
+    bbox = tnn.Linear(hidden, 6 * ncls)
+    dim_orien = tnn.Linear(hidden, 5 * ncls)
+    x = torch.randn(3, cin, P, P)
+    feat = top(x).mean(3).mean(2)
+    want = tuple(_np(h(feat)) for h in (cls, bbox, dim_orien))
+
+    sd = {f"RCNN_top.{i}.{s}": _np(v)
+          for i in (0, 2) for s, v in
+          (("weight", top[i].weight), ("bias", top[i].bias))}
+    for name, mod in (("RCNN_cls_score", cls), ("RCNN_bbox_pred", bbox),
+                      ("RCNN_dim_orien_pred", dim_orien)):
+        sd[f"{name}.weight"] = _np(mod.weight)
+        sd[f"{name}.bias"] = _np(mod.bias)
+    # kpts keys so the shared converter finds a complete tree
+    sd["RCNN_kpts.0.weight"] = np.zeros((4, 4, 3, 3), np.float32)
+    sd["RCNN_kpts.0.bias"] = np.zeros((4,), np.float32)
+    sd["kpts_class.weight"] = np.zeros((6, 4, 1, 1), np.float32)
+    sd["kpts_class.bias"] = np.zeros((6,), np.float32)
+
+    heads = convert_stereo_rcnn_heads(sd)
+    head = RCNNHead(num_classes=ncls, hidden=hidden)
+    got = head.apply({"params": heads["rcnn"]},
+                     jnp.asarray(_np(x).transpose(0, 2, 3, 1)))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w, atol=1e-5)
+
+
+def test_kpts_head_import_numerical():
+    """Upstream RCNN_kpts (3x3 convs + 2x2/2 ConvTranspose) + kpts_class +
+    row-sum == flax KeypointHead with converted params
+    (stereo_rcnn.py:262-273 usage)."""
+    from eval_driving_safety_tpu.models.stereo_rcnn import KeypointHead
+    from eval_driving_safety_tpu.utils.torch_import import \
+        convert_stereo_rcnn_heads
+
+    ch, n_convs = 8, 4
+    layers = []
+    for _ in range(n_convs):
+        layers += [tnn.Conv2d(ch, ch, 3, padding=1), tnn.ReLU(True)]
+    layers += [tnn.ConvTranspose2d(ch, ch, 2, stride=2), tnn.ReLU(True)]
+    rcnn_kpts = tnn.Sequential(*layers)
+    kpts_class = tnn.Conv2d(ch, 6, 1)
+    x = torch.randn(2, ch, 6, 6)
+    want = _np(kpts_class(rcnn_kpts(x)).sum(2))          # (N, 6, 12)
+
+    sd = {f"RCNN_kpts.{k}": _np(v)
+          for k, v in rcnn_kpts.state_dict().items()}
+    sd["kpts_class.weight"] = _np(kpts_class.weight)
+    sd["kpts_class.bias"] = _np(kpts_class.bias)
+    # minimal rcnn keys for the shared converter
+    for name, shape in (("RCNN_top.0", (4, 4, 2, 2)),
+                        ("RCNN_top.2", (4, 4, 1, 1))):
+        sd[f"{name}.weight"] = np.zeros(shape, np.float32)
+        sd[f"{name}.bias"] = np.zeros((shape[0],), np.float32)
+    for name, o in (("RCNN_cls_score", 2), ("RCNN_bbox_pred", 12),
+                    ("RCNN_dim_orien_pred", 10)):
+        sd[f"{name}.weight"] = np.zeros((o, 4), np.float32)
+        sd[f"{name}.bias"] = np.zeros((o,), np.float32)
+
+    heads = convert_stereo_rcnn_heads(sd)
+    assert heads["num_kpts_convs"] == n_convs
+    head = KeypointHead(kpts_grid=12, channels=ch, num_convs=n_convs)
+    got = head.apply({"params": heads["kpts"]},
+                     jnp.asarray(_np(x).transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_kpts_conv_stack_discovery():
+    """3-conv RCNN_kpts variants import too (the converter walks the
+    Sequential indices rather than assuming a depth)."""
+    from eval_driving_safety_tpu.utils.torch_import import \
+        convert_stereo_rcnn_heads
+
+    sd = {}
+    for i in range(3):
+        sd[f"RCNN_kpts.{2 * i}.weight"] = np.zeros((4, 4, 3, 3), np.float32)
+        sd[f"RCNN_kpts.{2 * i}.bias"] = np.zeros((4,), np.float32)
+    sd["RCNN_kpts.6.weight"] = np.zeros((4, 4, 2, 2), np.float32)
+    sd["RCNN_kpts.6.bias"] = np.zeros((4,), np.float32)
+    sd["kpts_class.weight"] = np.zeros((6, 4, 1, 1), np.float32)
+    sd["kpts_class.bias"] = np.zeros((6,), np.float32)
+    for name, shape in (("RCNN_top.0", (4, 4, 2, 2)),
+                        ("RCNN_top.2", (4, 4, 1, 1))):
+        sd[f"{name}.weight"] = np.zeros(shape, np.float32)
+        sd[f"{name}.bias"] = np.zeros((shape[0],), np.float32)
+    for name, o in (("RCNN_cls_score", 2), ("RCNN_bbox_pred", 12),
+                    ("RCNN_dim_orien_pred", 10)):
+        sd[f"{name}.weight"] = np.zeros((o, 4), np.float32)
+        sd[f"{name}.bias"] = np.zeros((o,), np.float32)
+    heads = convert_stereo_rcnn_heads(sd)
+    assert heads["num_kpts_convs"] == 3
+    assert set(heads["kpts"]) == {"kpts_conv1", "kpts_conv2", "kpts_conv3",
+                                  "kpts_deconv", "kpts_class"}
+
+
+def _synthetic_upstream_sd(cfg):
+    """Full upstream-named state dict (backbone+FPN+RPN+heads) at the tiny
+    config's dimensions — the layout the published stereo_rcnn_12_6477.pth
+    follows (vendored usage at /root/reference/attack/Stereo-RCNN/
+    stereo_rcnn.py:155-273)."""
     wid = cfg.backbone_width
     rng = np.random.RandomState(0)
 
@@ -200,7 +302,49 @@ def test_stereo_rcnn_checkpoint_conversion_shapes():
     sd["RCNN_rpn.RPN_bbox_pred_left_right.weight"] = t(18, 1024, 1, 1)
     sd["RCNN_rpn.RPN_bbox_pred_left_right.bias"] = t(18)
 
-    converted = convert_stereo_rcnn_checkpoint(sd)
+    # per-roi heads: RCNN_top at the concat(L,R) pooled dims, Linear heads,
+    # 4-conv kpts stack + deconv + kpts_class
+    ncls = cfg.num_classes
+    pooled_ch = 2 * ch
+    hidden = 1024
+    sd["RCNN_top.0.weight"] = t(hidden, pooled_ch, cfg.pooling_size,
+                                cfg.pooling_size)
+    sd["RCNN_top.0.bias"] = t(hidden)
+    sd["RCNN_top.2.weight"] = t(hidden, hidden, 1, 1)
+    sd["RCNN_top.2.bias"] = t(hidden)
+    for name, o in (("RCNN_cls_score", ncls), ("RCNN_bbox_pred", 6 * ncls),
+                    ("RCNN_dim_orien_pred", 5 * ncls)):
+        sd[f"{name}.weight"] = t(o, hidden)
+        sd[f"{name}.bias"] = t(o)
+    kc = 256
+    for i in range(cfg.kpts_convs):
+        cin_k = ch if i == 0 else kc
+        sd[f"RCNN_kpts.{2 * i}.weight"] = t(kc, cin_k, 3, 3)
+        sd[f"RCNN_kpts.{2 * i}.bias"] = t(kc)
+    sd[f"RCNN_kpts.{2 * cfg.kpts_convs}.weight"] = t(kc, kc, 2, 2)
+    sd[f"RCNN_kpts.{2 * cfg.kpts_convs}.bias"] = t(kc)
+    sd["kpts_class.weight"] = t(6, kc, 1, 1)
+    sd["kpts_class.bias"] = t(6)
+    # torch BN bookkeeping the import must tolerate
+    sd["RCNN_layer1.0.bn1.num_batches_tracked"] = np.zeros((), np.int64)
+    return sd
+
+
+def test_stereo_rcnn_checkpoint_conversion_shapes():
+    """Synthetic upstream-shaped state dict maps onto the flax tree with
+    ZERO unmapped keys and the resulting params run a forward pass
+    (VERDICT.md missing #2)."""
+    from eval_driving_safety_tpu.config import StereoRCNNConfig
+    from eval_driving_safety_tpu.models.stereo_rcnn import StereoRCNN
+    from eval_driving_safety_tpu.utils.torch_import import (
+        graft_stereo_rcnn, import_stereo_rcnn)
+
+    cfg = StereoRCNNConfig.tiny()
+    sd = _synthetic_upstream_sd(cfg)
+    imported = import_stereo_rcnn(sd)
+    assert imported["unmapped"] == [], imported["unmapped"]
+    assert imported["num_kpts_convs"] == cfg.kpts_convs
+
     model = StereoRCNN(cfg)
     h, w = cfg.input.height, cfg.input.width
     x = jnp.zeros((1, h, w, 3))
@@ -208,10 +352,22 @@ def test_stereo_rcnn_checkpoint_conversion_shapes():
     import flax
     tree = flax.core.unfreeze(params) if hasattr(params, "unfreeze") \
         else dict(params)
-    for mod in ("backbone", "fpn", "rpn"):
+    for mod in ("backbone", "fpn", "rpn", "rcnn", "kpts"):
         want = jax.tree_util.tree_map(np.shape, tree["params"][mod])
-        got = jax.tree_util.tree_map(np.shape, converted[mod])
-        assert want == got, f"{mod} tree mismatch"
-        tree["params"][mod] = converted[mod]
+        got = jax.tree_util.tree_map(np.shape, imported["params"][mod])
+        assert want == got, f"{mod} tree mismatch: {want} vs {got}"
+    tree = graft_stereo_rcnn(tree, imported)
     out = model.apply(tree, x, x, mode="infer")
     assert np.isfinite(np.asarray(out.cls_prob)).all()
+
+
+def test_import_stereo_rcnn_strips_dataparallel_and_reports_unmapped():
+    from eval_driving_safety_tpu.config import StereoRCNNConfig
+    from eval_driving_safety_tpu.utils.torch_import import import_stereo_rcnn
+
+    cfg = StereoRCNNConfig.tiny()
+    sd = _synthetic_upstream_sd(cfg)
+    sd["some_fork_extra.weight"] = np.zeros((2, 2), np.float32)
+    wrapped = {f"module.{k}": v for k, v in sd.items()}
+    imported = import_stereo_rcnn(wrapped)
+    assert imported["unmapped"] == ["some_fork_extra.weight"]
