@@ -71,6 +71,9 @@ def bench_dsgn(iters: int, tiny: bool, attack: bool) -> float:
     num_boxes = jnp.ones((1,), jnp.int32)
     depth_gt = jnp.full((1, h, w), 20.0)
 
+    # params ride as jit ARGUMENTS: closing over concrete weights bakes
+    # them into the program as constants and overflows the remote
+    # compiler's request size limit (HTTP 413)
     if attack:
         def loss_fn(p, il, ir):
             out = model.apply(p, il, ir, *calib)
@@ -78,24 +81,24 @@ def bench_dsgn(iters: int, tiny: bool, attack: bool) -> float:
             return total
 
         @jax.jit
-        def pgd_iter(il, ir):
+        def pgd_iter(p, il, ir):
             loss, (gl, gr) = jax.value_and_grad(
-                loss_fn, argnums=(1, 2))(params, il, ir)
+                loss_fn, argnums=(1, 2))(p, il, ir)
             alpha = 1.0 / 255.0
-            return (jnp.clip(il + alpha * jnp.sign(gl), 0.0, 1.0),
+            return (p, jnp.clip(il + alpha * jnp.sign(gl), 0.0, 1.0),
                     jnp.clip(ir + alpha * jnp.sign(gr), 0.0, 1.0))
 
-        return _time(pgd_iter, iters, im_l, im_r)
+        return _time(pgd_iter, iters, params, im_l, im_r)
 
     @jax.jit
-    def fwd(il, ir):
-        out = model.apply(params, il, ir, *calib)
+    def fwd(p, il, ir):
+        out = model.apply(p, il, ir, *calib)
         # tiny feedback term chains iterations without host sync while
         # keeping the forward pass live (not constant-foldable)
         d = out["depth_preds"][-1]
-        return il + 1e-12 * d[..., None], ir
+        return p, il + 1e-12 * d[..., None], ir
 
-    return _time(fwd, iters, im_l, im_r)
+    return _time(fwd, iters, params, im_l, im_r)
 
 
 def _srcnn_setup(tiny: bool):
@@ -136,16 +139,15 @@ def bench_srcnn_attack(iters: int, tiny: bool) -> float:
         jax.random.PRNGKey(0), il, ir, gt=gt, rng=rng, mode="attack"))()
     uncert = jnp.zeros((6,))
 
-    def loss_fn(l, r):
-        out = model.apply(variables, l, r, gt=gt, rng=rng, mode="attack")
-        return total_attack_loss(out.losses, uncert)
-
     @jax.jit
-    def pgd_iter(l, r):
+    def pgd_iter(v, g, l, r):
+        def loss_fn(l_, r_):
+            out = model.apply(v, l_, r_, gt=g, rng=rng, mode="attack")
+            return total_attack_loss(out.losses, uncert)
         _, (gl, gr) = jax.value_and_grad(loss_fn, argnums=(0, 1))(l, r)
-        return l + jnp.sign(gl), r + jnp.sign(gr)
+        return v, g, l + jnp.sign(gl), r + jnp.sign(gr)
 
-    return _time(pgd_iter, iters, il, ir)
+    return _time(pgd_iter, iters, variables, gt, il, ir)
 
 
 def bench_srcnn_infer(iters: int, tiny: bool) -> float:
@@ -154,11 +156,11 @@ def bench_srcnn_infer(iters: int, tiny: bool) -> float:
         jax.random.PRNGKey(0), il, ir, mode="infer"))()
 
     @jax.jit
-    def fwd(l, r):
-        out = model.apply(variables, l, r, mode="infer")
-        return l + 1e-12 * out.cls_prob.sum(), r
+    def fwd(v, l, r):
+        out = model.apply(v, l, r, mode="infer")
+        return v, l + 1e-12 * out.cls_prob.sum(), r
 
-    return _time(fwd, iters, il, ir)
+    return _time(fwd, iters, variables, il, ir)
 
 
 def main():

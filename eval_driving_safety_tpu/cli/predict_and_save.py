@@ -37,11 +37,19 @@ def parse_args():
     p.add_argument("--patch_mode", choices=tuple(PLACEMENT_BANDS),
                    default="random")
     p.add_argument("--eval_ap", action="store_true",
-                   help="score AP vs the dataset's label_2 after export")
+                   help="score AP vs the dataset's label_2 after export: "
+                        "full easy/moderate/hard table (the reference eval "
+                        "hook's output, predict_and_save_pgd.py:287-301)")
+    p.add_argument("--eval_classes", default="Car",
+                   help="comma-separated classes for --eval_ap")
     p.add_argument("--depth_dir", default=None,
                    help="depth gt .npy dir for depth error metrics (dsgn)")
     p.add_argument("--save_feat_dir", default=None,
                    help="dump intermediate activations per frame")
+    p.add_argument("--save_input_dir", default=None,
+                   help="dump the network input images (after any patch "
+                        "compositing) as image_2/image_3 pngs — the "
+                        "reference's attacked-image visibility")
     p.add_argument("--save_depth_dir", default=None,
                    help="dump predicted depth maps as .npy (dsgn)")
     p.add_argument("--save_lidar_dir", default=None,
@@ -53,6 +61,16 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
     return p.parse_args()
+
+
+def _save_inputs(args, b, il, ir, to_rgb01):
+    from eval_driving_safety_tpu.data.kitti import save_image
+    for i, fid in enumerate(b["frame_ids"]):
+        for sub, img in (("image_2", il[i]), ("image_3", ir[i])):
+            d = os.path.join(args.save_input_dir, sub)
+            os.makedirs(d, exist_ok=True)
+            save_image(os.path.join(d, fid + ".png"),
+                       np.asarray(to_rgb01(np.asarray(img))))
 
 
 def _composite(args, imgs_l, imgs_r, radius_shift=-64.0):
@@ -108,6 +126,8 @@ def run_dsgn(args):
         ir = jnp.asarray(b["im_right_01"])
         if args.patch_npy:
             il, ir = _composite(args, il, ir)
+        if args.save_input_dir:
+            _save_inputs(args, b, il, ir, lambda x: x)
         if params is None:
             params = load_params(model, lambda: model.init(
                 jax.random.PRNGKey(0), il[:1], ir[:1],
@@ -197,6 +217,11 @@ def run_srcnn(args):
         ir = jnp.asarray(b["im_right"])
         if args.patch_npy:
             il, ir = _composite(args, il, ir)
+        if args.save_input_dir:
+            from eval_driving_safety_tpu.data.kitti import srcnn_to_rgb01
+            _save_inputs(args, b, il, ir,
+                         lambda x: srcnn_to_rgb01(
+                             x, cfg.input.pixel_means_bgr))
         if params is None:
             params = load_params(model, lambda: model.init(
                 jax.random.PRNGKey(0), il[:1], ir[:1], mode="infer"),
@@ -236,11 +261,17 @@ def _featdir(args, fid):
 def _maybe_eval_ap(args, ds, mpath):
     if not args.eval_ap:
         return
-    from eval_driving_safety_tpu.evalap.kitti_ap import evaluate_folders
-    r = evaluate_folders(ds.label_dir, os.path.join(args.result_dir, "data"))
+    from eval_driving_safety_tpu.evalap.kitti_ap import (
+        evaluate_folders_full, format_ap_table)
+    classes = tuple(args.eval_classes.split(","))
+    table = evaluate_folders_full(
+        ds.label_dir, os.path.join(args.result_dir, "data"), classes)
+    log(format_ap_table(table))
+    r = table["Car"]["moderate"] if "Car" in table else \
+        next(iter(table.values()))["moderate"]
     log(f"AP (Car, moderate, IoU .7): bbox {r['ap_bbox']:.4f} "
         f"bev {r['ap_bev']:.4f} 3d {r['ap_3d']:.4f}")
-    append_metrics(mpath, r)
+    append_metrics(mpath, {"ap_table": table, **r})
 
 
 def main():

@@ -223,10 +223,61 @@ def evaluate_folders(gt_dir: str, det_dir: str, cls: str = "Car",
     """Label-folder interface matching the reference's kitti_eval hook
     (predict_and_save_pgd.py:287-301): det txts are matched to gt txts by
     file name; missing det files count as empty."""
+    gts, dets = _load_folders(gt_dir, det_dir)
+    return evaluate_detections(gts, dets, cls, iou_thresh, difficulty)
+
+
+# official per-class 3D/BEV IoU thresholds (evaluate_object.cpp)
+CLASS_IOU_THRESH = {"Car": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
+DIFFICULTIES = ("easy", "moderate", "hard")
+
+
+def _load_folders(gt_dir: str, det_dir: str):
     gt_names = sorted(n for n in os.listdir(gt_dir) if n.endswith(".txt"))
     gts, dets = [], []
     for n in gt_names:
         gts.append(read_label(os.path.join(gt_dir, n)))
         dp = os.path.join(det_dir, n)
         dets.append(read_label(dp) if os.path.exists(dp) else [])
-    return evaluate_detections(gts, dets, cls, iou_thresh, difficulty)
+    return gts, dets
+
+
+def evaluate_full_table(gt_per_image, det_per_image,
+                        classes: Sequence[str] = ("Car",)) -> Dict[str, Dict]:
+    """Full easy/moderate/hard AP table per class — the output shape of the
+    reference's eval hook (/root/reference/attack/DSGN/
+    predict_and_save_pgd.py:287-301 shells out to print exactly this).
+
+    Returns {cls: {difficulty: {ap_bbox, ap_bev, ap_3d}}}.
+    """
+    table: Dict[str, Dict] = {}
+    for cls in classes:
+        thr = CLASS_IOU_THRESH.get(cls, 0.5)
+        table[cls] = {
+            d: evaluate_detections(gt_per_image, det_per_image, cls, thr, d)
+            for d in DIFFICULTIES}
+    return table
+
+
+def evaluate_folders_full(gt_dir: str, det_dir: str,
+                          classes: Sequence[str] = ("Car",)) -> Dict[str, Dict]:
+    gts, dets = _load_folders(gt_dir, det_dir)
+    return evaluate_full_table(gts, dets, classes)
+
+
+def format_ap_table(table: Dict[str, Dict]) -> str:
+    """Human-readable AP table (AP in %, R40), one class block per line
+    group, mirroring the official evaluator's printout."""
+    lines = []
+    for cls, per_diff in table.items():
+        lines.append(f"{cls} AP(%) @ IoU "
+                     f"{CLASS_IOU_THRESH.get(cls, 0.5):.2f} (R40):")
+        header = "  {:<10}" + "{:>10}" * len(DIFFICULTIES)
+        lines.append(header.format("", *DIFFICULTIES))
+        for metric, label in (("ap_bbox", "bbox"), ("ap_bev", "bev"),
+                              ("ap_3d", "3d")):
+            row = "  {:<10}".format(label) + "".join(
+                "{:>10.2f}".format(100.0 * per_diff[d][metric])
+                for d in DIFFICULTIES)
+            lines.append(row)
+    return "\n".join(lines)

@@ -71,6 +71,22 @@ def test_sample_centers_within_bands():
     np.testing.assert_array_equal(cr[:, 0], cl[:, 0])
 
 
+def test_sample_centers_all_placement_modes():
+    """The four eval-time placement bands
+    (/root/reference/attack/DSGN/predict_and_save_patch.py:361-391)."""
+    from eval_driving_safety_tpu.config import PLACEMENT_BANDS
+    rng = jax.random.PRNGKey(1)
+    for mode, (lo, hi) in PLACEMENT_BANDS.items():
+        cl, _ = sample_patch_centers(rng, 128, 384, 1248, radius=38,
+                                     col_band=(lo, hi),
+                                     disparity_shift=-64.0)
+        cols = np.asarray(cl)[:, 1]
+        assert (cols >= int(1248 * lo)).all(), mode
+        assert (cols <= int(1248 * hi)).all(), mode
+        # bands must actually differ: the spread covers most of the band
+        assert cols.max() - cols.min() > 0.5 * (hi - lo) * 1248, mode
+
+
 def test_patch_update_descends_loss():
     rng = jax.random.PRNGKey(1)
     imgs = jnp.zeros((2, 32, 48, 3))

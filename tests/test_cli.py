@@ -158,6 +158,115 @@ def test_pgd_attack_cli_srcnn(kitti_root, tmp_path):
     assert np.abs(adv - clean).max() > 0
 
 
+def test_classify_split_bridge_and_chain(kitti_root, tmp_path):
+    """L4 -> L5 bridge (VERDICT.md missing #5): classify_split materializes
+    the kitti_labeled folder structure and the converters + planner consume
+    it. Without checkpoints every frame is street / every vehicle static."""
+    out = tmp_path / "pred_labeled"
+    run_cli("classify_split", "--data_path", str(kitti_root),
+            "--out_dir", str(out))
+    assert sorted(os.listdir(out / "dynamic_label")) == ["000001.txt",
+                                                         "000002.txt"]
+    assert os.listdir(out / "road_dynamic_label") == []
+    codes = (out / "dynamic_annotation" / "000001.txt").read_text().split()
+    assert codes == ["0"]                    # the fixture's single Car line
+    scen = tmp_path / "scen_bridge"
+    sol = tmp_path / "sol_bridge"
+    run_cli("convert_gt_scenarios", "--input_folder", str(out) + "/",
+            "--output_folder", str(scen))
+    assert (scen / "000001.xml").exists()
+    out2 = run_cli("plan_motion", "--input_folder", str(scen),
+                   "--output_folder", str(sol))
+    assert "solved" in out2
+
+
+@pytest.mark.slow
+def test_classify_split_with_checkpoints(kitti_root, tmp_path):
+    """Checkpointed classifiers drive the bucket/code decisions: restore,
+    full-image road-type inference, per-vehicle crops."""
+    import jax
+    import jax.numpy as jnp
+    from eval_driving_safety_tpu.models.classifiers import (
+        DynamicVehicleClassifier, RoadTypeClassifier)
+    from eval_driving_safety_tpu.utils.checkpoint import save_checkpoint
+
+    x = jnp.zeros((1, 224, 224, 3))
+    save_checkpoint(str(tmp_path / "road_ck"),
+                    RoadTypeClassifier().init(jax.random.PRNGKey(0), x))
+    save_checkpoint(str(tmp_path / "dyn_ck"),
+                    DynamicVehicleClassifier().init(jax.random.PRNGKey(0), x))
+    out = tmp_path / "pred_labeled2"
+    run_cli("classify_split", "--data_path", str(kitti_root),
+            "--out_dir", str(out),
+            "--road_ckpt", str(tmp_path / "road_ck"),
+            "--dyn_ckpt", str(tmp_path / "dyn_ck"))
+    names = (set(os.listdir(out / "dynamic_label"))
+             | set(os.listdir(out / "road_dynamic_label")))
+    assert names == {"000001.txt", "000002.txt"}
+    for sub in ("dynamic", "road_dynamic"):
+        for n in os.listdir(out / f"{sub}_label"):
+            codes = (out / f"{sub}_annotation" / n).read_text().split()
+            assert len(codes) == 1 and codes[0] in ("0", "1")
+
+
+@pytest.mark.slow
+def test_patch_attack_cli_dsgn(kitti_root, tmp_path):
+    """Universal-patch training CLI writes the reference-layout npy and the
+    patch moves off its zero init (VERDICT.md weak #4)."""
+    sd = tmp_path / "patch_dsgn"
+    run_cli("patch_attack", "--detector", "dsgn", "--tiny",
+            "--data_path", str(kitti_root), "--epochs", "1", "--iters", "1",
+            "--save_dir", str(sd))
+    p = sd / "epoch1" / "patch.npy"
+    assert p.exists()
+    arr = np.load(p)
+    assert arr.shape[:2] == (1, 3)          # reference (1,3,d,d) layout
+    assert arr.shape[2] == arr.shape[3]
+    assert np.abs(arr).max() > 0
+    from eval_driving_safety_tpu.attack.patch import load_patch
+    lp = np.asarray(load_patch(str(p)))
+    np.testing.assert_allclose(lp.transpose(2, 0, 1)[None], arr)
+
+
+@pytest.mark.slow
+def test_patch_attack_cli_srcnn(kitti_root, tmp_path):
+    sd = tmp_path / "patch_srcnn"
+    run_cli("patch_attack", "--detector", "srcnn", "--tiny",
+            "--data_path", str(kitti_root), "--epochs", "1", "--iters", "1",
+            "--save_dir", str(sd), "--debug", "--debugnum", "1")
+    p = sd / "epoch1" / "patch.npy"
+    assert p.exists()
+    assert np.abs(np.load(p)).max() > 0
+
+
+@pytest.mark.slow
+def test_predict_cli_patch_placement_modes(kitti_root, tmp_path):
+    """predict_and_save --patch_npy composites the patch inside the chosen
+    column band (the reference's 4 placement modes,
+    predict_and_save_patch.py:361-391)."""
+    from eval_driving_safety_tpu.attack.patch import save_patch
+    d = 15
+    patch_path = tmp_path / "patch.npy"
+    save_patch(str(patch_path), np.full((d, d, 3), 10.0, np.float32))
+    radius = d // 2
+    W = 320
+    for mode, lo, hi in (("sp_left", 0.2, 0.4), ("sp_right", 0.6, 0.8)):
+        res = tmp_path / f"res_{mode}"
+        inp = tmp_path / f"inp_{mode}"
+        run_cli("predict_and_save", "--detector", "dsgn", "--tiny",
+                "--data_path", str(kitti_root), "--result_dir", str(res),
+                "--patch_npy", str(patch_path), "--patch_mode", mode,
+                "--save_input_dir", str(inp), "--debug", "--debugnum", "1")
+        assert (res / "data" / "000001.txt").exists()
+        from eval_driving_safety_tpu.data.kitti import load_image
+        img = load_image(str(inp / "image_2" / "000001.png"))
+        # the 10.0 patch saturates to 1.0; random background stays < 1
+        ys, xs = np.where(img.min(axis=2) >= 0.999)
+        assert len(xs) >= (d - 2) ** 2 * 0.5, mode
+        assert xs.min() >= int(W * lo) - radius - 1, mode
+        assert xs.max() <= int(W * hi) + radius + 1, mode
+
+
 @pytest.mark.slow
 def test_predict_cli_srcnn(kitti_root, tmp_path):
     res = tmp_path / "srcnn_results"

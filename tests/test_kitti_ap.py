@@ -103,3 +103,38 @@ def test_dontcare_inter_over_det_area():
             _obj(bbox=(505, 105, 555, 155), score=0.95)]]  # inside DontCare
     r = evaluate_detections(gt, det)
     assert r["ap_bbox"] == 1.0
+
+
+def test_full_table_difficulty_progression():
+    """evaluate_full_table emits easy/moderate/hard for each class; an
+    occluded gt counts only from its difficulty on (VERDICT.md weak #5)."""
+    from eval_driving_safety_tpu.evalap.kitti_ap import (
+        evaluate_full_table, format_ap_table)
+    # one easy gt + one occluded=2 gt (counts only in 'hard')
+    gt = [[_obj(), _obj(bbox=(300, 80, 380, 140), loc=(-3.0, 1.6, 20.0),
+                        occ=2)]]
+    det = [[_obj(score=0.9)]]         # only the easy gt detected
+    table = evaluate_full_table(gt, det, classes=("Car",))
+    assert set(table["Car"]) == {"easy", "moderate", "hard"}
+    assert table["Car"]["easy"]["ap_bbox"] == 1.0
+    assert table["Car"]["moderate"]["ap_bbox"] == 1.0
+    # hard counts 2 gts, one missed -> recall 0.5
+    assert 0.45 <= table["Car"]["hard"]["ap_bbox"] <= 0.55
+    txt = format_ap_table(table)
+    assert "Car AP(%)" in txt and "moderate" in txt and "bev" in txt
+
+
+def test_full_table_multiclass_thresholds():
+    """Pedestrian scores at IoU 0.5: a det with ~0.55 IoU is a TP for
+    Pedestrian but the same overlap would fail Car's 0.7 gate."""
+    from eval_driving_safety_tpu.evalap.kitti_ap import evaluate_full_table
+    ped_gt = _obj(typ="Pedestrian", bbox=(100, 100, 140, 180),
+                  dims=(1.8, 0.6, 0.8))
+    ped_det = _obj(typ="Pedestrian", bbox=(108, 100, 148, 180),
+                   dims=(1.8, 0.6, 0.8), score=0.9)   # IoU = 32/48 = 0.67
+    car_gt = _obj(bbox=(300, 100, 400, 160))
+    car_det = _obj(bbox=(320, 100, 420, 160), score=0.9)  # IoU = 80/120
+    table = evaluate_full_table([[ped_gt, car_gt]], [[ped_det, car_det]],
+                                classes=("Car", "Pedestrian"))
+    assert table["Pedestrian"]["moderate"]["ap_bbox"] == 1.0  # 0.67 >= 0.5
+    assert table["Car"]["moderate"]["ap_bbox"] == 0.0         # 0.67 < 0.7
