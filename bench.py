@@ -36,18 +36,31 @@ import numpy as np
 REFERENCE_ITERS_PER_SEC = 8000.0 / (24 * 3600.0)   # V100, see docstring
 
 
-def _time(fn, n_iters, *state):
-    """Warm up once (compile), then time n_iters chained calls."""
-    state = fn(*state)
-    jax.tree_util.tree_map(
+def _flops_per_call(jitted, *args):
+    """XLA's own cost analysis for one call (None if unavailable)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:                                 # pragma: no cover
+        return None
+
+
+def _time(fn, n_iters, const, state):
+    """Warm up TWICE (compile + layout-stabilized recompile), then time
+    n_iters chained calls. `const` (params/gt trees) is passed unchanged
+    every call — threading it through the output changes buffer layouts
+    and silently retriggers compilation mid-loop."""
+    ready = lambda s: jax.tree_util.tree_map(
         lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, state)
+        else x, s)
+    state = ready(fn(*const, *state))
+    state = ready(fn(*const, *state))
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        state = fn(*state)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, state)
+        state = fn(*const, *state)
+    ready(state)
     return n_iters / (time.perf_counter() - t0)
 
 
@@ -85,10 +98,11 @@ def bench_dsgn(iters: int, tiny: bool, attack: bool) -> float:
             loss, (gl, gr) = jax.value_and_grad(
                 loss_fn, argnums=(1, 2))(p, il, ir)
             alpha = 1.0 / 255.0
-            return (p, jnp.clip(il + alpha * jnp.sign(gl), 0.0, 1.0),
+            return (jnp.clip(il + alpha * jnp.sign(gl), 0.0, 1.0),
                     jnp.clip(ir + alpha * jnp.sign(gr), 0.0, 1.0))
 
-        return _time(pgd_iter, iters, params, im_l, im_r)
+        rate = _time(pgd_iter, iters, (params,), (im_l, im_r))
+        return rate, _flops_per_call(pgd_iter, params, im_l, im_r)
 
     @jax.jit
     def fwd(p, il, ir):
@@ -96,9 +110,9 @@ def bench_dsgn(iters: int, tiny: bool, attack: bool) -> float:
         # tiny feedback term chains iterations without host sync while
         # keeping the forward pass live (not constant-foldable)
         d = out["depth_preds"][-1]
-        return p, il + 1e-12 * d[..., None], ir
+        return il + 1e-12 * d[..., None], ir
 
-    return _time(fwd, iters, params, im_l, im_r)
+    return _time(fwd, iters, (params,), (im_l, im_r)), None
 
 
 def _srcnn_setup(tiny: bool):
@@ -145,9 +159,9 @@ def bench_srcnn_attack(iters: int, tiny: bool) -> float:
             out = model.apply(v, l_, r_, gt=g, rng=rng, mode="attack")
             return total_attack_loss(out.losses, uncert)
         _, (gl, gr) = jax.value_and_grad(loss_fn, argnums=(0, 1))(l, r)
-        return v, g, l + jnp.sign(gl), r + jnp.sign(gr)
+        return l + jnp.sign(gl), r + jnp.sign(gr)
 
-    return _time(pgd_iter, iters, variables, gt, il, ir)
+    return _time(pgd_iter, iters, (variables, gt), (il, ir))
 
 
 def bench_srcnn_infer(iters: int, tiny: bool) -> float:
@@ -158,9 +172,9 @@ def bench_srcnn_infer(iters: int, tiny: bool) -> float:
     @jax.jit
     def fwd(v, l, r):
         out = model.apply(v, l, r, mode="infer")
-        return v, l + 1e-12 * out.cls_prob.sum(), r
+        return l + 1e-12 * out.cls_prob.sum(), r
 
-    return _time(fwd, iters, variables, il, ir)
+    return _time(fwd, iters, (variables,), (il, ir))
 
 
 def main():
@@ -190,15 +204,21 @@ def main():
 
     if args.profile:
         with jax.profiler.trace(args.profile):
-            headline = run("headline",
-                           lambda: bench_dsgn(args.iters, args.tiny, True))
+            res = run("headline",
+                      lambda: bench_dsgn(args.iters, args.tiny, True))
     else:
-        headline = run("headline",
-                       lambda: bench_dsgn(args.iters, args.tiny, True))
+        res = run("headline",
+                  lambda: bench_dsgn(args.iters, args.tiny, True))
+    headline, flops = res if res else (None, None)
+    if headline and flops:
+        # achieved compute throughput per XLA's own cost model — the MFU
+        # numerator (divide by the chip's peak bf16 FLOP/s for MFU)
+        extra["dsgn_attack_achieved_tflops_per_sec"] = round(
+            headline * flops / 1e12, 3)
 
     v = run("dsgn_fwd", lambda: bench_dsgn(args.iters, args.tiny, False))
-    if v:
-        extra["dsgn_clean_pairs_per_sec"] = round(v, 4)
+    if v and v[0]:
+        extra["dsgn_clean_pairs_per_sec"] = round(v[0], 4)
     v = run("srcnn_attack", lambda: bench_srcnn_attack(args.iters, args.tiny))
     if v:
         extra["srcnn_attack_iters_per_sec"] = round(v, 4)

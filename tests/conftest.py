@@ -21,6 +21,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent compilation cache: repeat suite runs skip the (dominant)
+# XLA compile cost
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_eval_driving_safety"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual-CPU mesh, not the tunneled TPU")

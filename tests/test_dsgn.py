@@ -4,6 +4,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# network-scale compiles dominate the suite: full tier only
+pytestmark = pytest.mark.slow
+
 from eval_driving_safety_tpu.config import DSGNConfig
 from eval_driving_safety_tpu.inference.fcos3d_post import (
     box3d_corners, decode_bev_outputs)

@@ -1,5 +1,6 @@
 """KITTI AP evaluator: perfect/missed/spurious detections, difficulty gates."""
 import numpy as np
+import pytest
 
 from eval_driving_safety_tpu.data.kitti import KittiObject
 from eval_driving_safety_tpu.evalap.kitti_ap import (
@@ -15,6 +16,7 @@ def _obj(typ="Car", bbox=(100, 100, 200, 160), score=None, occ=0, trunc=0.0,
                        score=score)
 
 
+@pytest.mark.slow
 def test_perfect_detections_ap_one():
     gt = [[_obj(), _obj(bbox=(300, 80, 380, 140), loc=(-3.0, 1.6, 20.0))]]
     det = [[_obj(score=0.9), _obj(bbox=(300, 80, 380, 140),
@@ -25,6 +27,7 @@ def test_perfect_detections_ap_one():
     assert r["ap_3d"] == 1.0
 
 
+@pytest.mark.slow
 def test_missed_detection_halves_recall():
     gt = [[_obj(), _obj(bbox=(300, 80, 380, 140), loc=(-3.0, 1.6, 20.0))]]
     det = [[_obj(score=0.9)]]
@@ -32,6 +35,7 @@ def test_missed_detection_halves_recall():
     assert 0.45 <= r["ap_bbox"] <= 0.55
 
 
+@pytest.mark.slow
 def test_spurious_detection_lowers_precision():
     gt = [[_obj()]]
     det = [[_obj(score=0.9),
@@ -40,6 +44,7 @@ def test_spurious_detection_lowers_precision():
     assert r["ap_bbox"] < 1.0
 
 
+@pytest.mark.slow
 def test_shifted_3d_box_fails_3d_but_passes_2d():
     gt = [[_obj()]]
     det = [[_obj(score=0.9, loc=(4.5, 1.6, 15.0))]]   # 2.5 m lateral error

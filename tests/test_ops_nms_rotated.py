@@ -1,4 +1,8 @@
 import numpy as np
+import pytest
+
+# compile-heavy: full tier only
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

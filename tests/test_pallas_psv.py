@@ -3,6 +3,10 @@ lerp-gather semantics (interpreter mode on CPU)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+# compile-heavy: full tier only
+pytestmark = pytest.mark.slow
 
 from eval_driving_safety_tpu.ops.cost_volume import (build_psv, depth_planes,
                                                      shift_along_width)

@@ -185,6 +185,7 @@ def test_primitive_band_counts():
 
 # -- planner + metrics end-to-end ------------------------------------------
 
+@pytest.mark.slow
 def test_plan_empty_scenario_reaches_goal():
     sc = make_init_scenario("straight", "6_8")
     traj = plan_scenario(sc, is_highway=False)
@@ -196,6 +197,7 @@ def test_plan_empty_scenario_reaches_goal():
     assert 6.0 <= last.velocity <= 8.0
 
 
+@pytest.mark.slow
 def test_plan_blocked_scenario():
     sc = make_init_scenario("straight", "6_8")
     # wall of parked cars across the whole goal corridor

@@ -3,6 +3,7 @@ import math
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from eval_driving_safety_tpu.config import StereoRCNNConfig
 from eval_driving_safety_tpu.data.kitti import Calibration
@@ -79,6 +80,7 @@ def test_infer_boundary_occlusion():
     np.testing.assert_allclose(ib[1], [250.0, 400.0])   # front box untouched
 
 
+@pytest.mark.slow
 def test_dense_align_recovers_shift():
     rng = np.random.RandomState(0)
     left = rng.rand(64, 256, 3).astype(np.float32)
@@ -157,6 +159,7 @@ def test_predict_image_end_to_end_synthetic():
     np.testing.assert_allclose(d["rotation_y"], gt[3], atol=0.3)
 
 
+@pytest.mark.slow
 def test_predict_image_network_scale_recovers_depth():
     """Boxes decoded at network scale (1.6x) must still solve to the
     ORIGINAL-resolution 3D pose (the reference divides by im_info scale

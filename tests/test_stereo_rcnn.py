@@ -4,6 +4,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# network-scale compiles dominate the suite: full tier only
+pytestmark = pytest.mark.slow
+
 from eval_driving_safety_tpu.config import StereoRCNNConfig
 from eval_driving_safety_tpu.models.stereo_rcnn import (
     StereoRCNN, total_attack_loss)
