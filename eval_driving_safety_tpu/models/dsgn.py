@@ -219,14 +219,17 @@ class DSGN(nn.Module):
         out = {"depth_preds": depth_preds}
 
         if cfg.rpn3d_enable:
-            # 3DGV: frustum -> camera-frame voxels -> BEV
-            gv_in = ConvBnRelu3D(cfg.gv_channels, 3, 1, dtype=dtype)(s2)
+            # 3DGV: frustum -> camera-frame voxels -> BEV. The volume convs
+            # use the factorized (2+1)D form like the hourglass — dense
+            # 3x3x3 Conv3D at these channel counts measured 2.6x slower
+            # on the MXU (23.6 ms vs 9.1 ms fwd+bwd at paper scale)
+            gv_in = ConvBnRelu2p1D(cfg.gv_channels, dtype=dtype)(s2)
             voxels = psv_to_3dgv(gv_in, planes.astype(jnp.float32),
                                  calib_fu, calib_cu, calib_cv, cfg,
                                  stride)                  # (B,Z,Y,X,C)
-            voxels = ConvBnRelu3D(cfg.gv_channels, 3, 1,
-                                  dtype=dtype)(voxels.astype(dtype))
-            voxels = ConvBnRelu3D(cfg.gv_channels, 3, 1, dtype=dtype)(voxels)
+            voxels = ConvBnRelu2p1D(cfg.gv_channels,
+                                    dtype=dtype)(voxels.astype(dtype))
+            voxels = ConvBnRelu2p1D(cfg.gv_channels, dtype=dtype)(voxels)
             b, z, y, x, c = voxels.shape
             bev = voxels.transpose(0, 1, 3, 2, 4).reshape(b, z, x, y * c)
             cls, reg, ctr = BEVHead(cfg.num_classes, cfg.head_channels,
