@@ -115,11 +115,15 @@ def bench_dsgn(iters: int, tiny: bool, attack: bool) -> float:
     return _time(fwd, iters, (params,), (im_l, im_r)), None
 
 
-def _srcnn_setup(tiny: bool):
+def _srcnn_setup(tiny: bool, bf16: bool = False):
+    import dataclasses
+
     from eval_driving_safety_tpu.config import StereoRCNNConfig
     from eval_driving_safety_tpu.models.stereo_rcnn import StereoRCNN
 
     cfg = StereoRCNNConfig.tiny() if tiny else StereoRCNNConfig()
+    if bf16:
+        cfg = dataclasses.replace(cfg, dtype="bfloat16")
     model = StereoRCNN(cfg)
     h, w = cfg.input.height, cfg.input.width
     k = jax.random.PRNGKey(0)
@@ -144,10 +148,10 @@ def _srcnn_setup(tiny: bool):
     return cfg, model, il, ir, gt
 
 
-def bench_srcnn_attack(iters: int, tiny: bool) -> float:
+def bench_srcnn_attack(iters: int, tiny: bool, bf16: bool = False) -> float:
     from eval_driving_safety_tpu.models.stereo_rcnn import total_attack_loss
 
-    cfg, model, il, ir, gt = _srcnn_setup(tiny)
+    cfg, model, il, ir, gt = _srcnn_setup(tiny, bf16)
     rng = jax.random.PRNGKey(3)
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), il, ir, gt=gt, rng=rng, mode="attack"))()
@@ -188,7 +192,7 @@ def main():
                     help="tiny configs (CI smoke; numbers not comparable)")
     ap.add_argument("--only", default=None,
                     choices=("headline", "dsgn_fwd", "srcnn_attack",
-                             "srcnn_infer"))
+                             "srcnn_attack_bf16", "srcnn_infer"))
     args = ap.parse_args()
 
     extra = {}
@@ -222,6 +226,10 @@ def main():
     v = run("srcnn_attack", lambda: bench_srcnn_attack(args.iters, args.tiny))
     if v:
         extra["srcnn_attack_iters_per_sec"] = round(v, 4)
+    v = run("srcnn_attack_bf16",
+            lambda: bench_srcnn_attack(args.iters, args.tiny, bf16=True))
+    if v:
+        extra["srcnn_attack_bf16_iters_per_sec"] = round(v, 4)
     v = run("srcnn_infer", lambda: bench_srcnn_infer(args.iters, args.tiny))
     if v:
         extra["srcnn_inference_imgs_per_sec"] = round(v, 4)

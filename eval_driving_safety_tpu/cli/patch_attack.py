@@ -43,6 +43,9 @@ def parse_args():
     p.add_argument("--save_dir", default=None,
                    help="default {detector}_patch_ratio_{ratio}")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 conv trunk for the srcnn detector "
+                        "(fp32 params/decode; see StereoRCNNConfig.dtype)")
     p.add_argument("--tiny", action="store_true")
     return p.parse_args()
 
@@ -100,6 +103,9 @@ def main():
         from eval_driving_safety_tpu.models.stereo_rcnn import (
             StereoRCNN, total_attack_loss)
         cfg = StereoRCNNConfig.tiny() if args.tiny else StereoRCNNConfig()
+    if args.bf16:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, dtype="bfloat16")
         model = StereoRCNN(cfg)
         short = cfg.input.height
         uncert = jnp.zeros((6,))

@@ -43,6 +43,9 @@ def parse_args():
                         "disparity loss (optional)")
     p.add_argument("--out_prefix", default=None,
                    help="default: {detector}_pgd")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 conv trunk for the srcnn detector "
+                        "(fp32 params/decode; see StereoRCNNConfig.dtype)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model configs (CI / smoke runs)")
     p.add_argument("--resume", action="store_true",
@@ -164,6 +167,9 @@ def run_srcnn(args):
         StereoRCNN, make_gt_batch, total_attack_loss)
 
     cfg = StereoRCNNConfig.tiny() if args.tiny else StereoRCNNConfig()
+    if args.bf16:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, dtype="bfloat16")
     model = StereoRCNN(cfg)
     alpha = args.alpha if args.alpha is not None else 1.0
     eps = args.eps if args.eps is not None else 255.0 * 0.3

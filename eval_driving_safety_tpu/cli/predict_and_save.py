@@ -59,6 +59,9 @@ def parse_args():
                         "result_dir/refer/<id>.png")
     p.add_argument("--vis_thresh", type=float, default=0.7)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 conv trunk for the srcnn detector "
+                        "(fp32 params/decode; see StereoRCNNConfig.dtype)")
     p.add_argument("--tiny", action="store_true")
     return p.parse_args()
 
@@ -202,6 +205,9 @@ def run_srcnn(args):
     from eval_driving_safety_tpu.models.stereo_rcnn import StereoRCNN
 
     cfg = StereoRCNNConfig.tiny() if args.tiny else StereoRCNNConfig()
+    if args.bf16:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, dtype="bfloat16")
     model = StereoRCNN(cfg)
     ds = make_dataset(args)
     params = None

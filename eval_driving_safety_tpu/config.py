@@ -70,6 +70,11 @@ class StereoRCNNConfig:
     pooling_size: int = 7                    # cfg.POOLING_SIZE
     kpts_grid: int = 28                      # cfg.KPTS_GRID
     kpts_convs: int = 4                      # upstream RCNN_kpts conv stack
+    dtype: str = "float32"                   # "bfloat16": bf16 conv trunk
+                                             # (fp32 params/decode/losses);
+                                             # ~1.5-2x attack throughput,
+                                             # fp32 default for checkpoint
+                                             # parity
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
     anchor_scales: Tuple[float, ...] = (32.0, 64.0, 128.0, 256.0, 512.0)  # p2..p6
     feat_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)

@@ -7,6 +7,8 @@ p6 = stride-2 max-pool of p5.
 """
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -15,7 +17,7 @@ from eval_driving_safety_tpu.models.common import upsample_bilinear
 
 class FPN(nn.Module):
     out_channels: int = 256
-    dtype = jnp.float32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, c2, c3, c4, c5):

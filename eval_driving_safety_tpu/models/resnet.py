@@ -11,7 +11,7 @@ BN is frozen (inference affine) — see models.common.FrozenBatchNorm.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -22,7 +22,7 @@ from eval_driving_safety_tpu.models.common import FrozenBatchNorm, conv
 class Bottleneck(nn.Module):
     features: int   # bottleneck width; output = 4x
     stride: int = 1
-    dtype = jnp.float32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -48,7 +48,7 @@ class ResNet(nn.Module):
     """Returns (c2, c3, c4, c5) pyramid features at strides 4/8/16/32."""
     block_counts: Tuple[int, ...] = (3, 4, 23, 3)  # resnet101
     width: int = 64
-    dtype = jnp.float32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -66,7 +66,7 @@ class ResNet(nn.Module):
             features = self.width * (2 ** stage)
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
-                y = Bottleneck(features, stride,
+                y = Bottleneck(features, stride, dtype=self.dtype,
                                name=f"layer{stage + 1}_block{b}")(y)
             feats.append(y)
         return tuple(feats)  # c2..c5 with 256/512/1024/2048 channels

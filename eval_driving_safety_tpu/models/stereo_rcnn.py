@@ -22,7 +22,7 @@ TPU-first design differences (NOT a translation):
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -93,7 +93,7 @@ class StereoRPNHead(nn.Module):
     """
     num_anchors: int = 3
     trunk_channels: int = 512
-    dtype = jnp.float32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats_left, feats_right):
@@ -119,7 +119,7 @@ class RCNNHead(nn.Module):
     """Per-roi semantic head on concat(L,R) pooled features."""
     num_classes: int
     hidden: int = 1024
-    dtype = jnp.float32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pooled):  # (N, P, P, 2*FPN_CH)
@@ -149,7 +149,7 @@ class KeypointHead(nn.Module):
     kpts_grid: int = 28
     channels: int = 256
     num_convs: int = 4
-    dtype = jnp.float32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pooled):  # (N, 2P, 2P, C)
@@ -172,8 +172,13 @@ class StereoRCNN(nn.Module):
 
     def setup(self):
         from eval_driving_safety_tpu.models.resnet import ResNet
+        # compute dtype: params stay fp32; cfg.dtype="bfloat16" runs the
+        # conv trunk/heads in bf16 (decode/losses stay fp32 below)
+        dtype = (jnp.bfloat16 if self.cfg.dtype == "bfloat16"
+                 else jnp.float32)
+        self.compute_dtype = dtype
         self.backbone = ResNet(block_counts=self.cfg.backbone_blocks,
-                               width=self.cfg.backbone_width)
+                               width=self.cfg.backbone_width, dtype=dtype)
         # anchors as a flax variable: the ~190k x 4 table is a *runtime
         # argument*, not a constant baked into the compiled program (the
         # inlined MLIR blew past the remote compiler's request limit)
@@ -184,13 +189,16 @@ class StereoRCNN(nn.Module):
                               tuple(self.cfg.anchor_ratios))
         self.anchor_table = self.variable("constants", "anchors",
                                           lambda: jnp.asarray(anc))
-        self.fpn = FPN(out_channels=self.cfg.fpn_channels)
-        self.rpn = StereoRPNHead(num_anchors=len(self.cfg.anchor_ratios))
-        self.rcnn = RCNNHead(num_classes=self.cfg.num_classes)
+        self.fpn = FPN(out_channels=self.cfg.fpn_channels, dtype=dtype)
+        self.rpn = StereoRPNHead(num_anchors=len(self.cfg.anchor_ratios),
+                                 dtype=dtype)
+        self.rcnn = RCNNHead(num_classes=self.cfg.num_classes, dtype=dtype)
         self.kpts = KeypointHead(kpts_grid=self.cfg.kpts_grid,
-                                 num_convs=self.cfg.kpts_convs)
+                                 num_convs=self.cfg.kpts_convs, dtype=dtype)
 
     def extract_pyramids(self, im_left, im_right):
+        im_left = im_left.astype(self.compute_dtype)
+        im_right = im_right.astype(self.compute_dtype)
         c2l, c3l, c4l, c5l = self.backbone(im_left)
         c2r, c3r, c4r, c5r = self.backbone(im_right)
         pl = self.fpn(c2l, c3l, c4l, c5l)   # p2..p6
@@ -218,6 +226,9 @@ class StereoRCNN(nn.Module):
         bsz, height, width, _ = im_left.shape
         pl, pr = self.extract_pyramids(im_left, im_right)
         rpn_cls_logits, rpn_box_pred = self.rpn(pl, pr)
+        # decode/NMS/losses in fp32 regardless of the trunk compute dtype
+        rpn_cls_logits = rpn_cls_logits.astype(jnp.float32)
+        rpn_box_pred = rpn_box_pred.astype(jnp.float32)
         anchors = self._anchors(height, width)
         rpn_cls_prob = jax.nn.softmax(rpn_cls_logits, axis=-1)
 
@@ -275,11 +286,14 @@ class StereoRCNN(nn.Module):
                                      strides4)
         pooled = jnp.concatenate([pooled_l, pooled_r], axis=-1)
         cls_score, bbox_pred, dim_orien_pred = self.rcnn(pooled)
+        cls_score = cls_score.astype(jnp.float32)
+        bbox_pred = bbox_pred.astype(jnp.float32)
+        dim_orien_pred = dim_orien_pred.astype(jnp.float32)
         cls_prob = jax.nn.softmax(cls_score, axis=-1)
 
         pooled_k = pyramid_roi_align(pl[:4], flat_l, cfg.pooling_size * 2,
                                      strides4)
-        kpts_logits6 = self.kpts(pooled_k)                  # (N, 6, G)
+        kpts_logits6 = self.kpts(pooled_k).astype(jnp.float32)  # (N, 6, G)
         kpts_pred = kpts_logits6[:, :4, :].reshape(-1, 4 * cfg.kpts_grid)
         lb_pred = kpts_logits6[:, 4, :]
         rb_pred = kpts_logits6[:, 5, :]

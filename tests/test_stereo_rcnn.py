@@ -116,3 +116,49 @@ def test_make_gt_batch_geometry():
     gk = np.asarray(gt["gt_kpts"][0, 0])
     assert 0 <= gk[0] <= 3                      # corner type
     assert gl[0] - 80 <= gk[1] <= gl[2] + 80    # keypoint u near the box
+
+
+def test_bf16_trunk_runs_and_outputs_fp32():
+    """cfg.dtype='bfloat16' runs the conv trunk in bf16 while probs/losses
+    stay fp32 and gradients still reach the input pixels."""
+    import dataclasses
+    from eval_driving_safety_tpu.config import SRCNNInputConfig
+    cfg = dataclasses.replace(
+        StereoRCNNConfig.tiny(), dtype="bfloat16",
+        input=SRCNNInputConfig(height=64, width=160))
+    model = StereoRCNN(cfg)
+    h, w = cfg.input.height, cfg.input.width
+    k = jax.random.PRNGKey(0)
+    il = jax.random.uniform(k, (1, h, w, 3), minval=-100.0, maxval=150.0)
+    ir = il + 1.0
+    g = cfg.max_gt_boxes
+    gt = {
+        "gt_left": jnp.zeros((1, g, 5)).at[0, 0].set(
+            jnp.array([60.0, 20.0, 100.0, 50.0, 1.0])),
+        "gt_right": jnp.zeros((1, g, 5)).at[0, 0].set(
+            jnp.array([55.0, 20.0, 95.0, 50.0, 1.0])),
+        "gt_merge": jnp.zeros((1, g, 4)).at[0, 0].set(
+            jnp.array([55.0, 20.0, 100.0, 50.0])),
+        "gt_dim_orien": jnp.zeros((1, g, 5)).at[0, 0].set(
+            jnp.array([1.5, 1.7, 4.0, 0.1, 0.99])),
+        "gt_kpts": jnp.full((1, g, 6), -1.0).at[0, 0].set(
+            jnp.array([1.0, 80.0, 60.0, 100.0, 0.0, 0.0])),
+        "num_boxes": jnp.ones((1,), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(1)
+    variables = model.init(jax.random.PRNGKey(0), il, ir, gt=gt, rng=rng,
+                           mode="attack")
+    # params stay fp32
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+
+    def loss_fn(l, r):
+        out = model.apply(variables, l, r, gt=gt, rng=rng, mode="attack")
+        assert out.cls_prob.dtype == jnp.float32
+        total = total_attack_loss(out.losses, jnp.zeros((6,)))
+        assert total.dtype == jnp.float32
+        return total
+
+    loss, gl = jax.value_and_grad(loss_fn)(il, ir)
+    assert np.isfinite(float(loss))
+    assert float(jnp.abs(gl).max()) > 0.0
