@@ -217,6 +217,14 @@ def run_srcnn(args):
     def infer(params, il, ir):
         return model.apply(params, il, ir, mode="infer")
 
+    def infer_with_feats(il, ir):
+        """Activation-dump variant — the reference's forward hooks on the
+        Stereo R-CNN predict path (predict_and_save_pgd.py:56-68)."""
+        out, state = model.apply(params, il, ir, mode="infer",
+                                 capture_intermediates=True,
+                                 mutable=["intermediates"])
+        return out, state["intermediates"]
+
     for samples in ds.batches(args.batch):
         b = prepare_srcnn_batch(samples, cfg.input)
         il = jnp.asarray(b["im_left"])
@@ -232,7 +240,20 @@ def run_srcnn(args):
             params = load_params(model, lambda: model.init(
                 jax.random.PRNGKey(0), il[:1], ir[:1], mode="infer"),
                 args.ckpt)
-        out = infer(params, il, ir)
+        if args.save_feat_dir:
+            out, feats = infer_with_feats(il, ir)
+            for i, fid in enumerate(b["frame_ids"]):
+                d = _featdir(args, fid)
+                flat = jax.tree_util.tree_flatten_with_path(feats)[0]
+                for j, (path, val) in enumerate(flat):
+                    name = "_".join(getattr(p, "key", str(p))
+                                    for p in path)[:120]
+                    arr = np.asarray(val)
+                    np.save(os.path.join(d, f"feat{j:02d}_{name}.npy"),
+                            arr[i] if arr.ndim > 0 and arr.shape[0] == len(
+                                b["frame_ids"]) else arr)
+        else:
+            out = infer(params, il, ir)
         for i, fid in enumerate(b["frame_ids"]):
             scale = float(b["scales"][i])
             dets = predict_image(out, np.asarray(il[i]), np.asarray(ir[i]),

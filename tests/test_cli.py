@@ -270,11 +270,15 @@ def test_predict_cli_patch_placement_modes(kitti_root, tmp_path):
 @pytest.mark.slow
 def test_predict_cli_srcnn(kitti_root, tmp_path):
     res = tmp_path / "srcnn_results"
+    feat = tmp_path / "srcnn_feats"
     run_cli("predict_and_save", "--detector", "srcnn", "--tiny",
             "--data_path", str(kitti_root), "--result_dir", str(res),
-            "--debug", "--debugnum", "1")
+            "--save_feat_dir", str(feat), "--debug", "--debugnum", "1")
     # txt exists (may be empty with random weights) in KITTI format
     p = res / "data" / "000001.txt"
     assert p.exists()
     for line in p.read_text().splitlines():
         assert len(line.split()) == 16     # 15 fields + score
+    # activation dumps (reference predict hooks, pgd variant :56-68)
+    dumped = list((feat / "000001").glob("*.npy"))
+    assert len(dumped) > 5
