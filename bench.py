@@ -36,15 +36,18 @@ import numpy as np
 REFERENCE_ITERS_PER_SEC = 8000.0 / (24 * 3600.0)   # V100, see docstring
 
 
-def _flops_per_call(jitted, *args):
-    """XLA's own cost analysis for one call (None if unavailable)."""
+def _compile_with_flops(jitted, *args):
+    """AOT-compile once; returns (compiled_callable, flops-or-None) so the
+    same executable serves both the cost analysis and the timing loop."""
+    compiled = jitted.lower(*args).compile()
     try:
-        cost = jitted.lower(*args).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost["flops"])
+        flops = float(cost["flops"])
     except Exception:                                 # pragma: no cover
-        return None
+        flops = None
+    return compiled, flops
 
 
 def _time(fn, n_iters, const, state):
@@ -64,12 +67,13 @@ def _time(fn, n_iters, const, state):
     return n_iters / (time.perf_counter() - t0)
 
 
-def bench_dsgn(iters: int, tiny: bool, attack: bool) -> float:
+def bench_dsgn(iters: int, tiny: bool, attack: bool,
+               remat: bool = False) -> float:
     from eval_driving_safety_tpu.config import DSGNConfig
     from eval_driving_safety_tpu.models.dsgn import DSGN
     from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
 
-    cfg = DSGNConfig.tiny() if tiny else DSGNConfig.full()
+    cfg = DSGNConfig.tiny() if tiny else DSGNConfig.full(remat=remat)
     model = DSGN(cfg)
     k = jax.random.PRNGKey(0)
     h, w = cfg.height, cfg.width
@@ -101,8 +105,8 @@ def bench_dsgn(iters: int, tiny: bool, attack: bool) -> float:
             return (jnp.clip(il + alpha * jnp.sign(gl), 0.0, 1.0),
                     jnp.clip(ir + alpha * jnp.sign(gr), 0.0, 1.0))
 
-        rate = _time(pgd_iter, iters, (params,), (im_l, im_r))
-        return rate, _flops_per_call(pgd_iter, params, im_l, im_r)
+        compiled, flops = _compile_with_flops(pgd_iter, params, im_l, im_r)
+        return _time(compiled, iters, (params,), (im_l, im_r)), flops
 
     @jax.jit
     def fwd(p, il, ir):
@@ -206,13 +210,22 @@ def main():
             extra[f"{name}_error"] = f"{type(e).__name__}: {e}"
             return None
 
+    def headline_fn():
+        try:
+            return bench_dsgn(args.iters, args.tiny, True)
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in \
+                    str(e).lower():
+                raise
+            # HBM-constrained chip: retry with the rematerialized hourglass
+            extra["headline_remat"] = True
+            return bench_dsgn(args.iters, args.tiny, True, remat=True)
+
     if args.profile:
         with jax.profiler.trace(args.profile):
-            res = run("headline",
-                      lambda: bench_dsgn(args.iters, args.tiny, True))
+            res = run("headline", headline_fn)
     else:
-        res = run("headline",
-                  lambda: bench_dsgn(args.iters, args.tiny, True))
+        res = run("headline", headline_fn)
     headline, flops = res if res else (None, None)
     if headline and flops:
         # achieved compute throughput per XLA's own cost model — the MFU
@@ -234,12 +247,15 @@ def main():
     if v:
         extra["srcnn_inference_imgs_per_sec"] = round(v, 4)
 
+    unit = ("fwd+bwd iters/s, TINY smoke config (not comparable)"
+            if args.tiny else
+            "fwd+bwd iters/s @ 384x1248, paper-scale DSGNConfig.full()")
     print(json.dumps({
         "metric": "dsgn_pgd_attack_iters_per_sec",
         "value": round(headline, 4) if headline else None,
-        "unit": "fwd+bwd iters/s @ 384x1248, paper-scale DSGNConfig.full()",
+        "unit": unit,
         "vs_baseline": (round(headline / REFERENCE_ITERS_PER_SEC, 2)
-                        if headline else None),
+                        if headline and not args.tiny else None),
         "extra": extra,
     }))
 

@@ -68,13 +68,10 @@ def _resize_norm(img, cfg):
 
 
 def _restore(ckpt):
+    from eval_driving_safety_tpu.cli.common import unwrap_checkpoint
     from eval_driving_safety_tpu.utils.checkpoint import restore_checkpoint
-    restored = restore_checkpoint(ckpt)
-    if isinstance(restored, dict) and "opt_state" in restored:
-        restored = restored["params"]
-    if isinstance(restored, dict) and "params" in restored:
-        return restored
-    return {"params": restored}
+    variables, _ = unwrap_checkpoint(restore_checkpoint(ckpt))
+    return variables
 
 
 def main(argv=None):

@@ -33,6 +33,34 @@ def make_dataset(args):
     return ds
 
 
+def make_srcnn_cfg(args):
+    """StereoRCNNConfig from the shared CLI flags (--tiny, --bf16)."""
+    import dataclasses
+
+    from eval_driving_safety_tpu.config import StereoRCNNConfig
+    cfg = (StereoRCNNConfig.tiny() if getattr(args, "tiny", False)
+           else StereoRCNNConfig())
+    if getattr(args, "bf16", False):
+        cfg = dataclasses.replace(cfg, dtype="bfloat16")
+    return cfg
+
+
+def unwrap_checkpoint(restored, template=None):
+    """Normalize a restored orbax tree: trainer checkpoints
+    ({params, [uncert,] opt_state, epoch}) -> (variables, aux); bare params
+    collections are re-nested under the template's other collections."""
+    aux = {}
+    if isinstance(restored, dict) and "opt_state" in restored:
+        if restored.get("uncert") is not None:
+            aux["uncert"] = restored["uncert"]
+        restored = restored["params"]
+    if isinstance(restored, dict) and "params" in restored:
+        return restored, aux
+    out = dict(template) if template else {}
+    out["params"] = restored
+    return out, aux
+
+
 def load_params(model, init_fn, ckpt: Optional[str], return_aux: bool = False):
     """Load detector weights.
 
@@ -71,19 +99,11 @@ def load_params(model, init_fn, ckpt: Optional[str], return_aux: bool = False):
     elif ckpt:
         from eval_driving_safety_tpu.utils.checkpoint import \
             restore_checkpoint
-        restored = restore_checkpoint(ckpt)
-        if isinstance(restored, dict) and "opt_state" in restored:
-            # trainer checkpoint: {params, [uncert,] opt_state, epoch}
-            if restored.get("uncert") is not None:
-                aux["uncert"] = restored["uncert"]
-            restored = restored["params"]
-        if isinstance(restored, dict) and "params" in restored:
-            params = restored            # full variables dict was saved
-        else:
-            # bare params collection: keep init's other collections
-            # (e.g. the SRCNN anchor-table constants)
-            params = dict(params)
-            params["params"] = restored
+        # bare params collections are re-nested under init's other
+        # collections (e.g. the SRCNN anchor-table constants)
+        params, ck_aux = unwrap_checkpoint(restore_checkpoint(ckpt),
+                                           template=params)
+        aux.update(ck_aux)
         log(f"restored checkpoint from {ckpt}")
     else:
         log("WARNING: no --ckpt given; using randomly initialized weights")

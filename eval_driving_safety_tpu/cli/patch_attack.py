@@ -98,14 +98,12 @@ def main():
             return patch_update_step(loss_fn, patch, il, ir, cl, cr,
                                      alpha=args.alpha, eps=eps)
     else:
+        from eval_driving_safety_tpu.cli.common import make_srcnn_cfg
         from eval_driving_safety_tpu.data.dataset import (
             prepare_srcnn_batch, srcnn_clip_bounds)
         from eval_driving_safety_tpu.models.stereo_rcnn import (
             StereoRCNN, total_attack_loss)
-        cfg = StereoRCNNConfig.tiny() if args.tiny else StereoRCNNConfig()
-    if args.bf16:
-        import dataclasses
-        cfg = dataclasses.replace(cfg, dtype="bfloat16")
+        cfg = make_srcnn_cfg(args)
         model = StereoRCNN(cfg)
         short = cfg.input.height
         uncert = jnp.zeros((6,))
@@ -114,7 +112,7 @@ def main():
         pix_min, pix_max = srcnn_clip_bounds(cfg.input)
 
         @jax.jit
-        def srcnn_step(params, patch, il, ir, cl, cr, gt):
+        def srcnn_step(params, patch, il, ir, cl, cr, gt, uncert):
             def loss_fn(l, r):
                 out = model.apply(params, l, r, gt=gt, rng=srng,
                                   mode="attack")
@@ -184,12 +182,20 @@ def main():
                 gt = _srcnn_patch_targets(b, cfg, radius, centers_l,
                                           centers_r)
                 if params is None:
-                    params = load_params(model, lambda: model.init(
+                    params, aux = load_params(model, lambda: model.init(
                         jax.random.PRNGKey(0), imgs_l[:1], imgs_r[:1],
                         gt=jax.tree_util.tree_map(lambda x: x[:1], gt),
-                        rng=srng, mode="attack"), args.ckpt)
+                        rng=srng, mode="attack"), args.ckpt,
+                        return_aux=True)
+                    if "uncert" in aux:
+                        # the checkpoint's 6-vector weights the patch loss
+                        # (reference Stereo-RCNN/patch_attack.py:150,244-252)
+                        uncert = jnp.asarray(aux["uncert"])
+                        log(f"using checkpoint uncert="
+                            f"{np.asarray(uncert).round(3)}")
                 step = lambda p: srcnn_step(params, p, imgs_l, imgs_r,
-                                            centers_l, centers_r, gt)
+                                            centers_l, centers_r, gt,
+                                            uncert)
             for _ in range(args.iters):
                 patch, loss = step(patch)
             epoch_losses.append(float(loss))

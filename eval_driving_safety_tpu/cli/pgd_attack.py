@@ -166,10 +166,8 @@ def run_srcnn(args):
     from eval_driving_safety_tpu.models.stereo_rcnn import (
         StereoRCNN, make_gt_batch, total_attack_loss)
 
-    cfg = StereoRCNNConfig.tiny() if args.tiny else StereoRCNNConfig()
-    if args.bf16:
-        import dataclasses
-        cfg = dataclasses.replace(cfg, dtype="bfloat16")
+    from eval_driving_safety_tpu.cli.common import make_srcnn_cfg
+    cfg = make_srcnn_cfg(args)
     model = StereoRCNN(cfg)
     alpha = args.alpha if args.alpha is not None else 1.0
     eps = args.eps if args.eps is not None else 255.0 * 0.3

@@ -141,19 +141,19 @@ def run_dsgn(args):
                       ("f_u", "baseline", "c_u", "c_v"))
         if args.save_feat_dir:
             dets, depth_pred, feats = infer_with_feats(il, ir, calib)
+            flat_feats = jax.tree_util.tree_flatten_with_path(feats)[0]
         else:
             dets, depth_pred = infer(params, il, ir, calib)
-            feats = None
+            flat_feats = None
         for i, fid in enumerate(b["frame_ids"]):
             row = jax.tree_util.tree_map(lambda x: x[i], dets)
             kitti = detections_to_kitti(row, b["calibs"][i],
                                         b["orig_hw"][i])
             write_detections(
                 os.path.join(args.result_dir, "data", fid + ".txt"), kitti)
-            if feats is not None:
+            if flat_feats is not None:
                 d = _featdir(args, fid)
-                flat = jax.tree_util.tree_flatten_with_path(feats)[0]
-                for j, (path, val) in enumerate(flat):
+                for j, (path, val) in enumerate(flat_feats):
                     name = "_".join(getattr(p, "key", str(p))
                                     for p in path)[:120]
                     np.save(os.path.join(d, f"feat{j:02d}_{name}.npy"),
@@ -204,10 +204,8 @@ def run_srcnn(args):
         predict_image
     from eval_driving_safety_tpu.models.stereo_rcnn import StereoRCNN
 
-    cfg = StereoRCNNConfig.tiny() if args.tiny else StereoRCNNConfig()
-    if args.bf16:
-        import dataclasses
-        cfg = dataclasses.replace(cfg, dtype="bfloat16")
+    from eval_driving_safety_tpu.cli.common import make_srcnn_cfg
+    cfg = make_srcnn_cfg(args)
     model = StereoRCNN(cfg)
     ds = make_dataset(args)
     params = None
@@ -242,10 +240,10 @@ def run_srcnn(args):
                 args.ckpt)
         if args.save_feat_dir:
             out, feats = infer_with_feats(il, ir)
+            flat_feats = jax.tree_util.tree_flatten_with_path(feats)[0]
             for i, fid in enumerate(b["frame_ids"]):
                 d = _featdir(args, fid)
-                flat = jax.tree_util.tree_flatten_with_path(feats)[0]
-                for j, (path, val) in enumerate(flat):
+                for j, (path, val) in enumerate(flat_feats):
                     name = "_".join(getattr(p, "key", str(p))
                                     for p in path)[:120]
                     arr = np.asarray(val)
@@ -289,14 +287,17 @@ def _maybe_eval_ap(args, ds, mpath):
     if not args.eval_ap:
         return
     from eval_driving_safety_tpu.evalap.kitti_ap import (
-        evaluate_folders_full, format_ap_table)
-    classes = tuple(args.eval_classes.split(","))
+        CLASS_IOU_THRESH, evaluate_folders_full, format_ap_table)
+    classes = tuple(c.strip() for c in args.eval_classes.split(",")
+                    if c.strip())
     table = evaluate_folders_full(
         ds.label_dir, os.path.join(args.result_dir, "data"), classes)
     log(format_ap_table(table))
-    r = table["Car"]["moderate"] if "Car" in table else \
-        next(iter(table.values()))["moderate"]
-    log(f"AP (Car, moderate, IoU .7): bbox {r['ap_bbox']:.4f} "
+    summary_cls = "Car" if "Car" in table else next(iter(table))
+    r = table[summary_cls]["moderate"]
+    log(f"AP ({summary_cls}, moderate, "
+        f"IoU {CLASS_IOU_THRESH.get(summary_cls, 0.5):.2f}): "
+        f"bbox {r['ap_bbox']:.4f} "
         f"bev {r['ap_bev']:.4f} 3d {r['ap_3d']:.4f}")
     append_metrics(mpath, {"ap_table": table, **r})
 

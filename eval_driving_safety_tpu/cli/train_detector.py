@@ -61,6 +61,40 @@ def _ckpt_io():
     return latest_epoch_dir, restore_checkpoint, save_checkpoint
 
 
+def _leaf_keys(path):
+    return [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+
+
+def make_detector_optimizer(sched):
+    """adamw over the network weights, plain adam (no decay) over the
+    `uncert` vector, and hard-frozen FrozenBatchNorm statistics.
+
+    FrozenBatchNorm stores running mean/var as ordinary params
+    (models/common.py) — without the mask, adamw's weight decay drags
+    `var` toward 0 and rsqrt(var+eps) eventually NaNs; and decaying the
+    multi-task uncert toward 0 deviates from the upstream scheme."""
+    def mask(kind):
+        def f(state):
+            def leaf(path, _):
+                keys = _leaf_keys(path)
+                is_uncert = bool(keys) and keys[0] == "uncert"
+                is_bnstat = bool(keys) and keys[-1] in ("mean", "var")
+                if kind == "net":
+                    return not is_uncert and not is_bnstat
+                if kind == "uncert":
+                    return is_uncert
+                return not is_uncert and is_bnstat      # "freeze"
+            return jax.tree_util.tree_map_with_path(leaf, state)
+        return f
+
+    return optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.masked(optax.adamw(sched, weight_decay=1e-4), mask("net")),
+        optax.masked(optax.adam(sched), mask("uncert")),
+        optax.masked(optax.set_to_zero(), mask("freeze")),
+    )
+
+
 def run_dsgn(args):
     from eval_driving_safety_tpu.data.dataset import (dsgn_boxes3d,
                                                       prepare_dsgn_batch)
@@ -77,7 +111,7 @@ def run_dsgn(args):
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, args.warmup_steps,
         max(args.epochs * max(len(ds) // args.batch, 1), args.warmup_steps + 1))
-    tx = optax.adamw(sched, weight_decay=1e-4)
+    tx = make_detector_optimizer(sched)
 
     @jax.jit
     def train_step(params, opt_state, il, ir, calib, depth, boxes, nb):
@@ -150,7 +184,7 @@ def run_srcnn(args):
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, args.warmup_steps,
         max(args.epochs * max(len(ds) // args.batch, 1), args.warmup_steps + 1))
-    tx = optax.adamw(sched, weight_decay=1e-4)
+    tx = make_detector_optimizer(sched)
 
     # constants (the anchor table) ride as a runtime argument: they must
     # neither receive optimizer updates nor be baked into the jitted

@@ -35,12 +35,13 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
-    if len(devices) < n_data * n_model:
+    if n_data < 1 or len(devices) < n_data * n_model:
+        need = max(n_data, 1) * n_model
         raise ValueError(
-            f"make_mesh needs {n_data}x{n_model}={n_data * n_model} devices "
+            f"make_mesh needs {max(n_data, 1)}x{n_model}={need} devices "
             f"but the {devices[0].platform} backend has {len(devices)}; "
             "start the process with XLA_FLAGS="
-            f"--xla_force_host_platform_device_count={n_data * n_model} "
+            f"--xla_force_host_platform_device_count={need} "
             "JAX_PLATFORMS=cpu for a virtual mesh")
     dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(dev, axis_names=("data", "model"))
