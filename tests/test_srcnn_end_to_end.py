@@ -42,6 +42,11 @@ def test_overfit_detects_planted_car_and_pgd_degrades_it():
     driver = os.path.join(os.path.dirname(__file__), "srcnn_e2e_driver.py")
     r = subprocess.run([sys.executable, driver], capture_output=True,
                        text=True, env=_clean_env(), timeout=3000)
+    if r.returncode != 0 and any(tag in r.stderr for tag in (
+            "Unable to initialize backend", "DEADLINE_EXCEEDED",
+            "UNAVAILABLE", "remote_compile")):
+        pytest.skip("accelerator unavailable/busy during the run: "
+                    + r.stderr[-300:])
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["ok"], out
