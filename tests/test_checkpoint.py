@@ -53,3 +53,45 @@ def test_load_params_trainer_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(params["constants"]["anchors"],
                                np.arange(3.0))
     np.testing.assert_allclose(aux["uncert"], 0.5)
+
+
+def test_detector_optimizer_masks():
+    """make_detector_optimizer: adamw on network weights, decay-free adam
+    on uncert, FrozenBatchNorm mean/var frozen."""
+    import jax
+    import optax
+
+    from eval_driving_safety_tpu.cli.train_detector import \
+        make_detector_optimizer
+
+    state = {
+        "params": {
+            "backbone": {
+                "stem_conv": {"kernel": jnp.ones((3, 3))},
+                "stem_bn": {"scale": jnp.ones((4,)), "bias": jnp.zeros((4,)),
+                            "mean": jnp.zeros((4,)), "var": jnp.ones((4,))},
+            },
+        },
+        "uncert": jnp.full((6,), 2.0),
+    }
+    tx = make_detector_optimizer(1e-2)
+    opt = tx.init(state)
+    grads = jax.tree_util.tree_map(jnp.ones_like, state)
+    updates, _ = tx.update(grads, opt, state)
+    new = optax.apply_updates(state, updates)
+
+    # bn statistics untouched
+    np.testing.assert_allclose(
+        np.asarray(new["params"]["backbone"]["stem_bn"]["mean"]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(new["params"]["backbone"]["stem_bn"]["var"]), 1.0)
+    # weights and bn scale/bias move
+    assert float(jnp.abs(new["params"]["backbone"]["stem_conv"]["kernel"]
+                         - 1.0).max()) > 0
+    assert float(jnp.abs(new["params"]["backbone"]["stem_bn"]["scale"]
+                         - 1.0).max()) > 0
+    # uncert moves by plain adam: no weight-decay pull proportional to its
+    # magnitude (update magnitude ~lr, not lr*(1 + wd*|u|))
+    du = np.asarray(new["uncert"] - state["uncert"])
+    assert np.all(np.abs(du) > 0)
+    np.testing.assert_allclose(np.abs(du), np.abs(du[0]), rtol=1e-5)
