@@ -45,6 +45,27 @@ def make_srcnn_cfg(args):
     return cfg
 
 
+def make_dsgn_model(args, cfg):
+    """DSGN assembly selection. A published torch checkpoint (`.tar`/`.pth`,
+    the reference's weight source at
+    /root/reference/attack/DSGN/pgd_attack.py:142-145) routes to the
+    upstream-topology compat assembly with its weights imported eagerly
+    (models/dsgn_compat.py); anything else uses the TPU-first fast model
+    with params loaded lazily (orbax / fresh init via `load_params`).
+
+    Returns (model, variables_or_None)."""
+    ckpt = getattr(args, "ckpt", None)
+    if ckpt and (ckpt.endswith(".pth") or ckpt.endswith(".tar")):
+        from eval_driving_safety_tpu.models.dsgn_compat import \
+            load_dsgn_checkpoint
+        model, variables = load_dsgn_checkpoint(ckpt, cfg)
+        log(f"imported published DSGN checkpoint {ckpt} "
+            f"(upstream-compat assembly, arch discovered from state dict)")
+        return model, variables
+    from eval_driving_safety_tpu.models.dsgn import DSGN
+    return DSGN(cfg), None
+
+
 def unwrap_checkpoint(restored, template=None):
     """Normalize a restored orbax tree: trainer checkpoints
     ({params, [uncert,] opt_state, epoch}) -> (variables, aux); bare params

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from eval_driving_safety_tpu.cli.common import (add_dataset_args, log,
-                                                load_params, make_dataset)
+                                                load_params, make_dataset,
+                                                make_dsgn_model)
 from eval_driving_safety_tpu.config import (DSGNConfig, PatchConfig,
                                             StereoRCNNConfig)
 
@@ -76,14 +77,12 @@ def main():
 
     if is_dsgn:
         from eval_driving_safety_tpu.data.dataset import prepare_dsgn_batch
-        from eval_driving_safety_tpu.models.dsgn import DSGN
         from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
         cfg = DSGNConfig.tiny() if args.tiny else DSGNConfig()
-        model = DSGN(cfg)
+        model, params = make_dsgn_model(args, cfg)
         short = cfg.height
         mean = np.asarray(cfg.input.mean, np.float32)
         std = np.asarray(cfg.input.std, np.float32)
-        params = None
 
         # one compiled step for the whole sweep (params/batch as arguments)
         @jax.jit

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from eval_driving_safety_tpu.cli.common import (add_dataset_args, log,
-                                                load_params, make_dataset)
+                                                load_params, make_dataset,
+                                                make_dsgn_model)
 from eval_driving_safety_tpu.config import DSGNConfig, StereoRCNNConfig
 
 
@@ -90,16 +91,13 @@ def run_dsgn(args):
     from eval_driving_safety_tpu.attack.pgd import pgd_attack
     from eval_driving_safety_tpu.data.dataset import (
         dsgn_boxes3d, prepare_dsgn_batch, save_attacked_images)
-    from eval_driving_safety_tpu.models.dsgn import DSGN
-
     cfg = DSGNConfig.tiny() if args.tiny else DSGNConfig()
-    model = DSGN(cfg)
+    model, params = make_dsgn_model(args, cfg)
     alpha = args.alpha if args.alpha is not None else 1.0 / 255.0
     eps = args.eps if args.eps is not None else 0.3
     prefix = args.out_prefix or "dsgn_pgd"
     ds = make_dataset(args)
     mean, std = np.asarray(cfg.input.mean), np.asarray(cfg.input.std)
-    params = None
 
     # params passed as an argument: closing over concrete weights would
     # bake them into the compiled program as constants (and overflow the

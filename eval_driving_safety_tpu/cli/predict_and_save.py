@@ -20,6 +20,7 @@ import numpy as np
 from eval_driving_safety_tpu.cli.common import (add_dataset_args,
                                                 append_metrics, log,
                                                 load_params, make_dataset,
+                                                make_dsgn_model,
                                                 metrics_path)
 from eval_driving_safety_tpu.config import (DSGNConfig, PLACEMENT_BANDS,
                                             StereoRCNNConfig)
@@ -95,14 +96,11 @@ def run_dsgn(args):
     from eval_driving_safety_tpu.data.kitti import write_detections
     from eval_driving_safety_tpu.inference.fcos3d_post import (
         decode_bev_outputs, detections_to_kitti)
-    from eval_driving_safety_tpu.models.dsgn import DSGN
-
     cfg = DSGNConfig.tiny() if args.tiny else DSGNConfig()
-    model = DSGN(cfg)
+    model, params = make_dsgn_model(args, cfg)
     ds = make_dataset(args)
     mean = np.asarray(cfg.input.mean, np.float32)
     std = np.asarray(cfg.input.std, np.float32)
-    params = None
     mpath = metrics_path(args.result_dir)
     depth_errs = []
 

@@ -304,6 +304,192 @@ class _ReadRecorder(dict):
         return super().__getitem__(k)
 
 
+def conv3d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Conv3d (O, I, kD, kH, kW) -> flax (kD, kH, kW, I, O)."""
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def deconv3d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose3d (I, O, kD, kH, kW) -> flax nn.ConvTranspose
+    (kD, kH, kW, I, O), spatially flipped (torch's ConvTranspose is the conv
+    gradient, flax's a fractionally-strided correlation; same rationale as
+    `deconv_kernel`, verified exact for the k3/s2/p1/op1 case in
+    tests/test_dsgn_compat.py)."""
+    return np.ascontiguousarray(
+        np.transpose(w, (2, 3, 4, 0, 1))[::-1, ::-1, ::-1])
+
+
+def gn_params(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """torch GroupNorm (weight, bias) -> flax nn.GroupNorm (scale, bias)."""
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+# ---------------------------------------------------------------------------
+# DSGN published-checkpoint import (the compat assembly,
+# models/dsgn_compat.py). The reference torch.load's the published .tar at
+# /root/reference/attack/DSGN/pgd_attack.py:142-145 (DataParallel-wrapped,
+# predict_and_save_pgd.py:161-166 — handled by strip_module_prefix).
+# ---------------------------------------------------------------------------
+
+def _convbn_nd(sd, prefix: str, rank: int) -> Dict[str, Any]:
+    """One upstream convbn/convbn_3d Sequential(Conv, BatchNorm) at `prefix`
+    -> CompatConvBn params ({conv, bn}). Tolerates one extra Sequential
+    nesting level (upstream wraps some convbn blocks in Sequential(convbn,
+    ReLU), giving `...0.0.weight` instead of `...0.weight`)."""
+    k = conv3d_kernel if rank == 3 else conv_kernel
+    if f"{prefix}.0.0.weight" in sd:
+        prefix = f"{prefix}.0"
+    return {"conv": {"kernel": k(sd[f"{prefix}.0.weight"])},
+            "bn": bn_params(sd, f"{prefix}.1")}
+
+
+def _deconvbn3d(sd, prefix: str) -> Dict[str, Any]:
+    """Sequential(ConvTranspose3d, BatchNorm3d) -> CompatDeconvBn params."""
+    return {"deconv": {"kernel": deconv3d_kernel(sd[f"{prefix}.0.weight"])},
+            "bn": bn_params(sd, f"{prefix}.1")}
+
+
+def _convbn_out(sd, prefix: str):
+    """Output channels of the convbn at `prefix` (either nesting), or None
+    if absent."""
+    for key in (f"{prefix}.0.0.weight", f"{prefix}.0.weight"):
+        if key in sd:
+            return int(sd[key].shape[0])
+    return None
+
+
+def discover_dsgn_arch(sd: Dict[str, np.ndarray]):
+    """Read every architecture knob that leaves a trace in a DSGN state
+    dict (widths, block counts, SPP branch count, tower depth, classes);
+    shapeless knobs (pool windows, strides/dilations, GroupNorm groups)
+    keep the upstream defaults."""
+    from eval_driving_safety_tpu.models.dsgn_compat import DSGNCompatArch
+    d = DSGNCompatArch()
+    fe = "feature_extraction."
+    layer_channels, layer_blocks = [], []
+    li = 1
+    while _convbn_out(sd, f"{fe}layer{li}.0.conv1") is not None:
+        b = 0
+        while _convbn_out(sd, f"{fe}layer{li}.{b}.conv1") is not None:
+            b += 1
+        layer_channels.append(_convbn_out(sd, f"{fe}layer{li}.0.conv1"))
+        layer_blocks.append(b)
+        li += 1
+    n_branch = 0
+    while _convbn_out(sd, f"{fe}branch{n_branch + 1}.1") is not None:
+        n_branch += 1
+    bev = _convbn_out(sd, "rpn3d_conv3")
+    tower = 0
+    while f"rpn3d.cls_tower.{3 * tower}.weight" in sd:
+        tower += 1
+    import dataclasses
+    return dataclasses.replace(
+        d,
+        base_channels=_convbn_out(sd, f"{fe}firstconv.0"),
+        layer_channels=tuple(layer_channels),
+        layer_blocks=tuple(layer_blocks),
+        layer_strides=d.layer_strides[:len(layer_blocks)],
+        layer_dilations=d.layer_dilations[:len(layer_blocks)],
+        spp_pools=d.spp_pools[:n_branch],
+        spp_channels=_convbn_out(sd, f"{fe}branch1.1"),
+        last_channels=_convbn_out(sd, f"{fe}lastconv.0"),
+        feature_channels=int(sd[f"{fe}lastconv.2.weight"].shape[0]),
+        cv_channels=_convbn_out(sd, "dres0.2"),
+        hg_channels=_convbn_out(sd, "hg1.conv1"),
+        gv_channels=_convbn_out(sd, "rpn3d_conv"),
+        bev_channels=bev,
+        tower_convs=tower,
+        gn_groups=(32 if bev % 32 == 0 else 4 if bev % 4 == 0 else 1),
+        num_classes=int(sd["rpn3d.cls_logits.weight"].shape[0]),
+    )
+
+
+def convert_dsgn_feature_extraction(sd, arch) -> Dict[str, Any]:
+    """`feature_extraction.*` -> CompatFeatureExtraction params."""
+    fe = "feature_extraction."
+    p: Dict[str, Any] = {}
+    for i in range(3):
+        # firstconv = Sequential(convbn, ReLU, convbn, ReLU, convbn, ReLU)
+        p[f"firstconv_{i}"] = _convbn_nd(sd, f"{fe}firstconv.{2 * i}", 2)
+    for li, n in enumerate(arch.layer_blocks, start=1):
+        for b in range(n):
+            pre = f"{fe}layer{li}.{b}"
+            blk = {"conv1": _convbn_nd(sd, f"{pre}.conv1", 2),
+                   "conv2": _convbn_nd(sd, f"{pre}.conv2", 2)}
+            if f"{pre}.downsample.0.weight" in sd:
+                blk["downsample"] = {
+                    "conv": {"kernel": conv_kernel(
+                        sd[f"{pre}.downsample.0.weight"])},
+                    "bn": bn_params(sd, f"{pre}.downsample.1")}
+            p[f"layer{li}_{b}"] = blk
+    for bi in range(1, len(arch.spp_pools) + 1):
+        # branch = Sequential(AvgPool2d, convbn, ReLU) -> params at index 1
+        p[f"branch{bi}"] = _convbn_nd(sd, f"{fe}branch{bi}.1", 2)
+    p["lastconv_0"] = _convbn_nd(sd, f"{fe}lastconv.0", 2)
+    p["lastconv_1"] = {"kernel": conv_kernel(sd[f"{fe}lastconv.2.weight"]),
+                       "bias": sd[f"{fe}lastconv.2.bias"]}
+    return p
+
+
+def convert_dsgn_cost_trunk(sd) -> Dict[str, Any]:
+    """dres0/dres1/hg1/classif1 -> compat cost-volume trunk params."""
+    p: Dict[str, Any] = {}
+    for name, pre in (("dres0_0", "dres0.0"), ("dres0_1", "dres0.2"),
+                      ("dres1_0", "dres1.0"), ("dres1_1", "dres1.2")):
+        p[name] = _convbn_nd(sd, pre, 3)
+    hg = {f"conv{i}": _convbn_nd(sd, f"hg1.conv{i}", 3) for i in (1, 2, 3, 4)}
+    hg["conv5"] = _deconvbn3d(sd, "hg1.conv5")
+    hg["conv6"] = _deconvbn3d(sd, "hg1.conv6")
+    p["hg1"] = hg
+    p["classif1_0"] = _convbn_nd(sd, "classif1.0", 3)
+    p["classif1_1"] = {"kernel": conv3d_kernel(sd["classif1.2.weight"])}
+    return p
+
+
+def convert_dsgn_rpn3d(sd, arch) -> Dict[str, Any]:
+    """rpn3d_conv* volume convs + FCOS-style BEV towers/heads -> params."""
+    p: Dict[str, Any] = {
+        "rpn3d_conv": _convbn_nd(sd, "rpn3d_conv", 3),
+        "rpn3d_conv2": _convbn_nd(sd, "rpn3d_conv2", 3),
+        "rpn3d_conv3": _convbn_nd(sd, "rpn3d_conv3", 2),
+    }
+    for tower in ("cls_tower", "bbox_tower"):
+        for i in range(arch.tower_convs):
+            pre = f"rpn3d.{tower}.{3 * i}"
+            p[f"{tower}_{i}"] = {
+                "conv": {"kernel": conv_kernel(sd[f"{pre}.weight"]),
+                         "bias": sd[f"{pre}.bias"]},
+                "gn": gn_params(sd, f"rpn3d.{tower}.{3 * i + 1}")}
+    for ours, theirs in (("cls_logits", "rpn3d.cls_logits"),
+                         ("bbox_pred", "rpn3d.bbox_pred"),
+                         ("centerness", "rpn3d.centerness")):
+        p[ours] = {"kernel": conv_kernel(sd[f"{theirs}.weight"]),
+                   "bias": sd[f"{theirs}.bias"]}
+    return p
+
+
+def import_dsgn(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Full-tree import of a published DSGN state dict onto the compat
+    assembly (models/dsgn_compat.py), with the same zero-unmapped-key
+    accounting as `import_stereo_rcnn`.
+
+    Returns {"params": flax tree, "arch": DSGNCompatArch (discovered),
+    "unmapped": [keys not consumed]} — `unmapped == []` is the contract the
+    parity path asserts (tests/test_torch_import.py,
+    tests/test_checkpoint_parity.py DSGN leg)."""
+    sd = strip_module_prefix(sd)
+    arch = discover_dsgn_arch(sd)
+    rec = _ReadRecorder(sd)
+    params: Dict[str, Any] = {
+        "feat": convert_dsgn_feature_extraction(rec, arch)}
+    params.update(convert_dsgn_cost_trunk(rec))
+    params.update(convert_dsgn_rpn3d(rec, arch))
+    unmapped = sorted(
+        k for k in sd
+        if k not in rec.read and not any(t in k for t in _IGNORABLE))
+    return {"params": params, "arch": arch, "unmapped": unmapped}
+
+
 def graft_stereo_rcnn(init_tree: Dict, imported: Dict[str, Any]) -> Dict:
     """Graft a full import (from `import_stereo_rcnn`) into a
     StereoRCNN.init tree, preserving non-param collections (constants)."""

@@ -316,3 +316,35 @@ def test_predict_cli_srcnn(kitti_root, tmp_path):
     # activation dumps (reference predict hooks, pgd variant :56-68)
     dumped = list((feat / "000001").glob("*.npy"))
     assert len(dumped) > 5
+
+
+@pytest.mark.slow
+def test_pgd_attack_cli_dsgn_compat_ckpt(kitti_root, tmp_path):
+    """--ckpt *.tar routes DSGN through the upstream-compat assembly: the
+    published-checkpoint attack path the reference runs
+    (/root/reference/attack/DSGN/pgd_attack.py:142-145). Uses a synthetic
+    upstream-shaped checkpoint (torch replica from test_dsgn_compat)."""
+    torch = pytest.importorskip("torch")
+    from test_dsgn_compat import TINY, TDSGNUpstream, _randomize_bn
+
+    tm = TDSGNUpstream(TINY, 4).eval()     # tiny cfg has num_voxels_y=4
+    _randomize_bn(tm)
+    ckpt = tmp_path / "dsgn_upstream.tar"
+    torch.save({"state_dict": {f"module.{k}": v
+                               for k, v in tm.state_dict().items()}},
+               str(ckpt))
+
+    out = tmp_path / "adv"
+    stdout = run_cli("pgd_attack", "--detector", "dsgn", "--tiny",
+                     "--data_path", str(kitti_root), "--iter", "1",
+                     "--ckpt", str(ckpt),
+                     "--out_prefix", str(out / "dsgn_pgd"), "--debug",
+                     "--debugnum", "1")
+    assert "compat assembly" in stdout
+    p = out / "dsgn_pgd_iters_1" / "image_2" / "000001.png"
+    assert p.exists()
+    from eval_driving_safety_tpu.data.kitti import load_image
+    clean = load_image(str(out / "dsgn_pgd_iters_0/image_2/000001.png"))
+    adv = load_image(str(p))
+    # alpha = 1/255 plus up to 1/255 of png-quantization on each side
+    assert 0 < np.abs(adv - clean).max() <= 2.0 / 255 + 1e-5
