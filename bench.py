@@ -35,6 +35,25 @@ import numpy as np
 
 REFERENCE_ITERS_PER_SEC = 8000.0 / (24 * 3600.0)   # V100, see docstring
 
+# peak dense bf16 TFLOP/s by device kind (public chip specs) — the MFU
+# denominator. Substring-matched against jax.devices()[0].device_kind.
+PEAK_BF16_TFLOPS = {
+    "v6": 918.0,          # TPU v6e (Trillium)
+    "v5p": 459.0,
+    "v5": 197.0,          # TPU v5e (reports as "TPU v5 lite")
+    "v4": 275.0,
+    "v3": 123.0,
+    "v2": 45.0,
+}
+
+
+def peak_tflops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, val in PEAK_BF16_TFLOPS.items():
+        if key in kind:
+            return val
+    return 0.0
+
 
 def _compile_with_flops(jitted, *args):
     """AOT-compile once; returns (compiled_callable, flops-or-None) so the
@@ -50,20 +69,37 @@ def _compile_with_flops(jitted, *args):
     return compiled, flops
 
 
+def _sync(state):
+    """Force completion of every chained computation feeding `state`.
+
+    On the tunneled TPU backend `block_until_ready()` returns as soon as
+    the execution is ENQUEUED, not completed (measured: a 37 ms hourglass
+    step "blocks" in 0.05 ms, 80x over the chip's peak FLOP rate) — only a
+    value FETCH truly waits. Dispatching a device-side reduce of one leaf
+    and pulling the 4-byte result synchronizes the whole dependency chain
+    without shipping a full tensor through the tunnel."""
+    leaf = jax.tree_util.tree_leaves(state)[0]
+    if hasattr(leaf, "block_until_ready"):
+        float(jnp.sum(leaf.astype(jnp.float32)))
+    return state
+
+
 def _time(fn, n_iters, const, state):
     """Warm up TWICE (compile + layout-stabilized recompile), then time
-    n_iters chained calls. `const` (params/gt trees) is passed unchanged
-    every call — threading it through the output changes buffer layouts
-    and silently retriggers compilation mid-loop."""
-    ready = lambda s: jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, s)
-    state = ready(fn(*const, *state))
-    state = ready(fn(*const, *state))
+    n_iters chained calls with a forced fetch-sync at the end (see _sync).
+    The chained dispatches pipeline the per-call RPC latency of the remote
+    tunnel while the data dependency between iterations serializes the
+    device work — so the measured rate is the device's sustained
+    throughput for the sequential attack loop, the same number a local
+    chip would give. `const` (params/gt trees) is passed unchanged every
+    call — threading it through the output changes buffer layouts and
+    silently retriggers compilation mid-loop."""
+    state = _sync(fn(*const, *state))
+    state = _sync(fn(*const, *state))
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state = fn(*const, *state)
-    ready(state)
+    _sync(state)
     return n_iters / (time.perf_counter() - t0)
 
 
@@ -117,6 +153,55 @@ def bench_dsgn(iters: int, tiny: bool, attack: bool,
         return il + 1e-12 * d[..., None], ir
 
     return _time(fwd, iters, (params,), (im_l, im_r)), None
+
+
+def bench_dsgn_patch(iters: int, tiny: bool) -> float:
+    """Universal-patch TRAINING step at paper scale: composite the circular
+    patch into both views at sampled centers, fwd+bwd through the full DSGN
+    loss, clamped patch update — the exact unit of the 24 h V100 baseline
+    (/root/reference/attack/DSGN/README.md:14,81; debugnum=50 x epochs=80 x
+    iters=2 patch steps). One-chip timing of the same step
+    `parallel.sharding.sharded_patch_step` runs per-shard on a mesh."""
+    from eval_driving_safety_tpu.attack.patch import (
+        init_patch, patch_update_step, sample_patch_centers)
+    from eval_driving_safety_tpu.config import DSGNConfig, PatchConfig
+    from eval_driving_safety_tpu.models.dsgn import DSGN
+    from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
+
+    cfg = DSGNConfig.tiny() if tiny else DSGNConfig.full()
+    pcfg = PatchConfig()
+    model = DSGN(cfg)
+    k = jax.random.PRNGKey(0)
+    h, w = cfg.height, cfg.width
+    im_l = jax.random.uniform(jax.random.fold_in(k, 1), (1, h, w, 3))
+    im_r = jax.random.uniform(jax.random.fold_in(k, 2), (1, h, w, 3))
+    calib = (jnp.full((1,), 720.0), jnp.full((1,), 0.54),
+             jnp.full((1,), w / 2.0), jnp.full((1,), h / 2.0))
+    params = jax.jit(model.init)(jax.random.fold_in(k, 3), im_l, im_r,
+                                 *calib)
+    # targeted ghost-car labels (patch_attack.py:341-354 parity constants)
+    gb = pcfg.ghost_box3d
+    boxes = jnp.zeros((1, 8, 8)).at[:, 0].set(
+        jnp.array([gb[3], gb[4], gb[5], gb[0], gb[1], gb[2],
+                   math.sin(gb[6]), math.cos(gb[6])]))
+    num_boxes = jnp.ones((1,), jnp.int32)
+    depth_gt = jnp.full((1, h, w), 20.0)
+    _, radius, patch = init_patch(h, pcfg.ratio)
+    cl, cr = sample_patch_centers(jax.random.fold_in(k, 4), 1, h, w, radius,
+                                  disparity_shift=pcfg.disparity_shift)
+
+    @jax.jit
+    def step(p, il, ir, patch):
+        def loss_fn(l, r):
+            out = model.apply(p, l, r, *calib)
+            return dsgn_total_loss(out, depth_gt, boxes, num_boxes, cfg)[0]
+        new_patch, _ = patch_update_step(
+            loss_fn, patch, il, ir, cl, cr,
+            alpha=pcfg.step_scale, eps=pcfg.eps,
+            pixel_min=0.0, pixel_max=1.0)
+        return il, ir, new_patch
+
+    return _time(step, iters, (params,), (im_l, im_r, patch))
 
 
 def _srcnn_setup(tiny: bool, bf16: bool = False):
@@ -187,6 +272,14 @@ def bench_srcnn_infer(iters: int, tiny: bool) -> float:
 
 def main():
     import argparse
+    import os
+
+    # persistent compile cache: repeat bench runs skip the multi-minute
+    # remote XLA compiles of the paper-scale models
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_eval_driving_safety"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler trace of the headline "
@@ -195,8 +288,9 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="tiny configs (CI smoke; numbers not comparable)")
     ap.add_argument("--only", default=None,
-                    choices=("headline", "dsgn_fwd", "srcnn_attack",
-                             "srcnn_attack_bf16", "srcnn_infer"))
+                    choices=("headline", "dsgn_patch_train", "dsgn_fwd",
+                             "srcnn_attack", "srcnn_attack_bf16",
+                             "srcnn_infer"))
     args = ap.parse_args()
 
     extra = {}
@@ -228,10 +322,21 @@ def main():
         res = run("headline", headline_fn)
     headline, flops = res if res else (None, None)
     if headline and flops:
-        # achieved compute throughput per XLA's own cost model — the MFU
-        # numerator (divide by the chip's peak bf16 FLOP/s for MFU)
-        extra["dsgn_attack_achieved_tflops_per_sec"] = round(
-            headline * flops / 1e12, 3)
+        # achieved compute throughput per XLA's own cost model
+        tf = headline * flops / 1e12
+        extra["dsgn_attack_achieved_tflops_per_sec"] = round(tf, 3)
+        peak = peak_tflops()
+        if peak:
+            # model FLOP utilization vs the chip's dense bf16 peak.
+            # NOTE the step is HBM-bound, not FLOP-bound — see the measured
+            # roofline in PARITY.md "Performance"
+            extra["dsgn_attack_mfu"] = round(tf / peak, 4)
+            extra["chip_peak_bf16_tflops"] = peak
+
+    v = run("dsgn_patch_train",
+            lambda: bench_dsgn_patch(args.iters, args.tiny))
+    if v:
+        extra["dsgn_patch_train_iters_per_sec"] = round(v, 4)
 
     v = run("dsgn_fwd", lambda: bench_dsgn(args.iters, args.tiny, False))
     if v and v[0]:

@@ -130,7 +130,7 @@ def _match_image(gts, dets, ious, gt_status, dontcare, iou_thresh,
     """
     order = np.argsort([-d.score for d in dets])
     matched = np.zeros(len(gts), bool)
-    scores, tps = [], []
+    scores, tps, sims = [], [], []
     for di in order:
         det_h = dets[di].bbox[3] - dets[di].bbox[1]
         small_det = det_h < min_height
@@ -148,6 +148,10 @@ def _match_image(gts, dets, ious, gt_status, dontcare, iou_thresh,
             matched[best_gt] = True
             scores.append(dets[di].score)
             tps.append(True)
+            # orientation similarity (AOS, evaluate_object.cpp): TPs score
+            # (1 + cos(gt_alpha - det_alpha)) / 2, FPs contribute 0
+            sims.append(0.5 * (1.0 + np.cos(gts[best_gt].alpha
+                                            - dets[di].alpha)))
         elif ignored_hit or small_det:
             continue            # ignored: neither TP nor FP
         else:
@@ -164,10 +168,14 @@ def _match_image(gts, dets, ious, gt_status, dontcare, iou_thresh,
                     continue
             scores.append(dets[di].score)
             tps.append(False)
-    return scores, tps, int(sum(1 for s in gt_status if s == 1))
+            sims.append(0.0)
+    return scores, tps, sims, int(sum(1 for s in gt_status if s == 1))
 
 
-def _ap_r40(scores, tps, num_gt) -> float:
+def _ap_r40(scores, tps, num_gt, sims=None) -> float:
+    """R40 interpolated AP; with `sims` (per-det orientation similarities)
+    the precision numerator becomes the cumulative similarity — the AOS of
+    the official evaluator (same envelope + 40-point sweep)."""
     if num_gt == 0:
         return 0.0
     order = np.argsort(-np.asarray(scores)) if scores else []
@@ -175,7 +183,12 @@ def _ap_r40(scores, tps, num_gt) -> float:
     tp_cum = np.cumsum(tp_sorted)
     fp_cum = np.cumsum(~tp_sorted)
     recall = tp_cum / num_gt
-    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1)
+    if sims is not None:
+        num = np.cumsum(np.asarray(sims, float)[order]) if len(scores) \
+            else np.zeros(0)
+    else:
+        num = tp_cum
+    precision = num / np.maximum(tp_cum + fp_cum, 1)
     # monotone envelope
     for i in range(len(precision) - 2, -1, -1):
         precision[i] = max(precision[i], precision[i + 1])
@@ -194,7 +207,7 @@ def evaluate_detections(gt_per_image: Sequence[Sequence[KittiObject]],
     diff = Difficulty(difficulty)
     result = {}
     for metric in ("bbox", "bev", "3d"):
-        all_scores, all_tps, total_gt = [], [], 0
+        all_scores, all_tps, all_sims, total_gt = [], [], [], 0
         for gts, dets in zip(gt_per_image, det_per_image):
             dets_c = [d for d in dets if d.type == cls]
             status = _gt_status(gts, cls, diff)
@@ -208,12 +221,18 @@ def evaluate_detections(gt_per_image: Sequence[Sequence[KittiObject]],
                 ious = _iou_bev(gts, dets_c)
             else:
                 ious = _iou_3d(gts, dets_c)
-            s, t, n = _match_image(gts, dets_c, ious, status, dontcare,
-                                   iou_thresh, min_height=diff.gates[0])
+            s, t, sim, n = _match_image(gts, dets_c, ious, status, dontcare,
+                                        iou_thresh,
+                                        min_height=diff.gates[0])
             all_scores += s
             all_tps += t
+            all_sims += sim
             total_gt += n
         result[f"ap_{metric}"] = _ap_r40(all_scores, all_tps, total_gt)
+        if metric == "bbox":
+            # AOS rides the 2D-bbox matching (the official convention)
+            result["ap_aos"] = _ap_r40(all_scores, all_tps, total_gt,
+                                       sims=all_sims)
     return result
 
 
@@ -274,8 +293,8 @@ def format_ap_table(table: Dict[str, Dict]) -> str:
                      f"{CLASS_IOU_THRESH.get(cls, 0.5):.2f} (R40):")
         header = "  {:<10}" + "{:>10}" * len(DIFFICULTIES)
         lines.append(header.format("", *DIFFICULTIES))
-        for metric, label in (("ap_bbox", "bbox"), ("ap_bev", "bev"),
-                              ("ap_3d", "3d")):
+        for metric, label in (("ap_bbox", "bbox"), ("ap_aos", "aos"),
+                              ("ap_bev", "bev"), ("ap_3d", "3d")):
             row = "  {:<10}".format(label) + "".join(
                 "{:>10.2f}".format(100.0 * per_diff[d][metric])
                 for d in DIFFICULTIES)

@@ -143,3 +143,44 @@ def test_full_table_multiclass_thresholds():
                                 classes=("Car", "Pedestrian"))
     assert table["Pedestrian"]["moderate"]["ap_bbox"] == 1.0  # 0.67 >= 0.5
     assert table["Car"]["moderate"]["ap_bbox"] == 0.0         # 0.67 < 0.7
+
+
+def test_aos_perfect_orientation_equals_ap():
+    """AOS == AP_bbox when every TP's alpha matches gt exactly
+    (/root/reference/attack/DSGN/predict_and_save_pgd.py:287-301 — the
+    shelled evaluator prints AOS alongside AP)."""
+    gt = [[_obj(), _obj(bbox=(300, 80, 380, 140), loc=(-3.0, 1.6, 20.0))]]
+    det = [[_obj(score=0.9), _obj(bbox=(300, 80, 380, 140),
+                                  loc=(-3.0, 1.6, 20.0), score=0.8)]]
+    r = evaluate_detections(gt, det)
+    assert r["ap_aos"] == r["ap_bbox"] == 1.0
+
+
+def test_aos_opposite_orientation_zero():
+    """alpha off by pi: similarity (1+cos)/2 = 0 while the 2D AP stays 1."""
+    gt = [[_obj()]]
+    d = _obj(score=0.9)
+    d.alpha = np.pi
+    det = [[d]]
+    r = evaluate_detections(gt, det)
+    assert r["ap_bbox"] == 1.0
+    assert r["ap_aos"] == 0.0
+
+
+def test_aos_quarter_turn_half_similarity():
+    gt = [[_obj()]]
+    d = _obj(score=0.9)
+    d.alpha = np.pi / 2
+    det = [[d]]
+    r = evaluate_detections(gt, det)
+    assert abs(r["ap_aos"] - 0.5 * r["ap_bbox"]) < 1e-6
+
+
+def test_aos_fp_drags_similarity_below_ap():
+    """An extra false positive lowers AOS like it lowers precision."""
+    gt = [[_obj()]]
+    det = [[_obj(score=0.9),
+            _obj(bbox=(500, 100, 600, 160), loc=(8.0, 1.6, 15.0),
+                 score=0.95)]]
+    r = evaluate_detections(gt, det)
+    assert r["ap_aos"] == r["ap_bbox"] < 1.0
