@@ -289,7 +289,7 @@ def main():
                     help="tiny configs (CI smoke; numbers not comparable)")
     ap.add_argument("--only", default=None,
                     choices=("headline", "dsgn_patch_train", "dsgn_fwd",
-                             "srcnn_attack", "srcnn_attack_bf16",
+                             "srcnn_attack", "srcnn_attack_fp32",
                              "srcnn_infer"))
     args = ap.parse_args()
 
@@ -341,13 +341,17 @@ def main():
     v = run("dsgn_fwd", lambda: bench_dsgn(args.iters, args.tiny, False))
     if v and v[0]:
         extra["dsgn_clean_pairs_per_sec"] = round(v[0], 4)
-    v = run("srcnn_attack", lambda: bench_srcnn_attack(args.iters, args.tiny))
-    if v:
-        extra["srcnn_attack_iters_per_sec"] = round(v, 4)
-    v = run("srcnn_attack_bf16",
+    # bf16 trunk is the attack-CLI default (effectiveness asserted in
+    # tests/test_stereo_rcnn.py::test_bf16_attack_effectiveness_matches_fp32)
+    # so it is the primary SRCNN number; fp32 kept as the parity datapoint
+    v = run("srcnn_attack",
             lambda: bench_srcnn_attack(args.iters, args.tiny, bf16=True))
     if v:
-        extra["srcnn_attack_bf16_iters_per_sec"] = round(v, 4)
+        extra["srcnn_attack_iters_per_sec"] = round(v, 4)
+    v = run("srcnn_attack_fp32",
+            lambda: bench_srcnn_attack(args.iters, args.tiny, bf16=False))
+    if v:
+        extra["srcnn_attack_fp32_iters_per_sec"] = round(v, 4)
     v = run("srcnn_infer", lambda: bench_srcnn_infer(args.iters, args.tiny))
     if v:
         extra["srcnn_inference_imgs_per_sec"] = round(v, 4)

@@ -33,14 +33,21 @@ def make_dataset(args):
     return ds
 
 
-def make_srcnn_cfg(args):
-    """StereoRCNNConfig from the shared CLI flags (--tiny, --bf16)."""
+def make_srcnn_cfg(args, default_bf16: bool = False):
+    """StereoRCNNConfig from the shared CLI flags (--tiny, --bf16, --fp32).
+
+    Attack CLIs pass default_bf16=True: the bf16 conv trunk is ~1.3x faster
+    and produces equally effective PGD directions (asserted by
+    tests/test_stereo_rcnn.py::test_bf16_attack_effectiveness_matches_fp32);
+    `--fp32` opts out. Inference/parity runs keep the fp32 default."""
     import dataclasses
 
     from eval_driving_safety_tpu.config import StereoRCNNConfig
     cfg = (StereoRCNNConfig.tiny() if getattr(args, "tiny", False)
            else StereoRCNNConfig())
-    if getattr(args, "bf16", False):
+    bf16 = (default_bf16 and not getattr(args, "fp32", False)) \
+        or getattr(args, "bf16", False)
+    if bf16:
         cfg = dataclasses.replace(cfg, dtype="bfloat16")
     return cfg
 

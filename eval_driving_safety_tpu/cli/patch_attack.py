@@ -44,6 +44,10 @@ def parse_args():
     p.add_argument("--save_dir", default=None,
                    help="default {detector}_patch_ratio_{ratio}")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fp32", action="store_true",
+                   help="keep the fp32 conv trunk for the SRCNN "
+                        "attack (bf16 is the default; see "
+                        "tests/test_stereo_rcnn.py bf16 effectiveness)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv trunk for the srcnn detector "
                         "(fp32 params/decode; see StereoRCNNConfig.dtype)")
@@ -102,7 +106,7 @@ def main():
             prepare_srcnn_batch, srcnn_clip_bounds)
         from eval_driving_safety_tpu.models.stereo_rcnn import (
             StereoRCNN, total_attack_loss)
-        cfg = make_srcnn_cfg(args)
+        cfg = make_srcnn_cfg(args, default_bf16=True)
         model = StereoRCNN(cfg)
         short = cfg.input.height
         uncert = jnp.zeros((6,))

@@ -44,6 +44,10 @@ def parse_args():
                         "disparity loss (optional)")
     p.add_argument("--out_prefix", default=None,
                    help="default: {detector}_pgd")
+    p.add_argument("--fp32", action="store_true",
+                   help="keep the fp32 conv trunk for the SRCNN "
+                        "attack (bf16 is the default; see "
+                        "tests/test_stereo_rcnn.py bf16 effectiveness)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv trunk for the srcnn detector "
                         "(fp32 params/decode; see StereoRCNNConfig.dtype)")
@@ -165,7 +169,7 @@ def run_srcnn(args):
         StereoRCNN, make_gt_batch, total_attack_loss)
 
     from eval_driving_safety_tpu.cli.common import make_srcnn_cfg
-    cfg = make_srcnn_cfg(args)
+    cfg = make_srcnn_cfg(args, default_bf16=True)
     model = StereoRCNN(cfg)
     alpha = args.alpha if args.alpha is not None else 1.0
     eps = args.eps if args.eps is not None else 255.0 * 0.3
