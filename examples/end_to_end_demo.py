@@ -10,6 +10,7 @@
 Run on TPU (default env) or CPU (JAX_PLATFORMS=cpu, slower):
     python examples/end_to_end_demo.py
 """
+import json
 import os
 import sys
 import tempfile
@@ -208,4 +209,11 @@ print(f"successful planning rate: clean {m_clean['success']:.0%} -> "
       f"attacked {m_adv['success']:.0%}")
 print(f"collision rate:           clean {m_clean['collision']} -> "
       f"attacked {m_adv['collision']}")
+# machine-readable tail for tests/test_dsgn_end_to_end.py
+print("METRICS " + json.dumps({
+    "clean": m_clean, "adv": m_adv,
+    "clean_score": clean["score"], "clean_err": clean["err"],
+    "adv_score": (adv["score"] if adv else 0.0),
+    "attack_ascent": float(res.losses[-1]) - float(res.losses[0]),
+}))
 print("DONE")
