@@ -46,27 +46,47 @@ PEAK_BF16_TFLOPS = {
     "v2": 45.0,
 }
 
+# peak HBM bandwidth, GB/s (public chip specs) — the roofline denominator
+PEAK_HBM_GBPS = {
+    "v6": 1638.0,
+    "v5p": 2765.0,
+    "v5": 819.0,
+    "v4": 1228.0,
+    "v3": 900.0,
+    "v2": 700.0,
+}
 
-def peak_tflops() -> float:
+
+def _peak(table) -> float:
     kind = jax.devices()[0].device_kind.lower()
-    for key, val in PEAK_BF16_TFLOPS.items():
+    for key, val in table.items():
         if key in kind:
             return val
     return 0.0
 
 
+def peak_tflops() -> float:
+    return _peak(PEAK_BF16_TFLOPS)
+
+
+def peak_hbm_gbps() -> float:
+    return _peak(PEAK_HBM_GBPS)
+
+
 def _compile_with_flops(jitted, *args):
-    """AOT-compile once; returns (compiled_callable, flops-or-None) so the
-    same executable serves both the cost analysis and the timing loop."""
+    """AOT-compile once; returns (compiled, flops, bytes_accessed) so the
+    same executable serves the cost analysis and the timing loop."""
     compiled = jitted.lower(*args).compile()
+    flops = nbytes = None
     try:
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost["flops"])
+        nbytes = float(cost.get("bytes accessed", 0.0)) or None
     except Exception:                                 # pragma: no cover
-        flops = None
-    return compiled, flops
+        pass
+    return compiled, flops, nbytes
 
 
 def _sync(state):
@@ -141,8 +161,10 @@ def bench_dsgn(iters: int, tiny: bool, attack: bool,
             return (jnp.clip(il + alpha * jnp.sign(gl), 0.0, 1.0),
                     jnp.clip(ir + alpha * jnp.sign(gr), 0.0, 1.0))
 
-        compiled, flops = _compile_with_flops(pgd_iter, params, im_l, im_r)
-        return _time(compiled, iters, (params,), (im_l, im_r)), flops
+        compiled, flops, nbytes = _compile_with_flops(pgd_iter, params,
+                                                      im_l, im_r)
+        return (_time(compiled, iters, (params,), (im_l, im_r)),
+                flops, nbytes)
 
     @jax.jit
     def fwd(p, il, ir):
@@ -152,7 +174,7 @@ def bench_dsgn(iters: int, tiny: bool, attack: bool,
         d = out["depth_preds"][-1]
         return il + 1e-12 * d[..., None], ir
 
-    return _time(fwd, iters, (params,), (im_l, im_r)), None
+    return _time(fwd, iters, (params,), (im_l, im_r)), None, None
 
 
 def bench_dsgn_patch(iters: int, tiny: bool) -> float:
@@ -320,7 +342,7 @@ def main():
             res = run("headline", headline_fn)
     else:
         res = run("headline", headline_fn)
-    headline, flops = res if res else (None, None)
+    headline, flops, nbytes = res if res else (None, None, None)
     if headline and flops:
         # achieved compute throughput per XLA's own cost model
         tf = headline * flops / 1e12
@@ -329,9 +351,18 @@ def main():
         if peak:
             # model FLOP utilization vs the chip's dense bf16 peak.
             # NOTE the step is HBM-bound, not FLOP-bound — see the measured
-            # roofline in PARITY.md "Performance"
+            # roofline in PARITY.md "Performance" (arithmetic intensity
+            # ~21 FLOP/byte vs the v5e ridge ~240)
             extra["dsgn_attack_mfu"] = round(tf / peak, 4)
             extra["chip_peak_bf16_tflops"] = peak
+    if headline and nbytes:
+        bw = peak_hbm_gbps()
+        gbps = headline * nbytes / 1e9
+        extra["dsgn_attack_achieved_hbm_gbps"] = round(gbps, 1)
+        if bw:
+            # the roofline that actually binds: fraction of peak HBM
+            # bandwidth sustained (XLA post-fusion bytes-accessed model)
+            extra["dsgn_attack_hbm_bw_util"] = round(gbps / bw, 4)
 
     v = run("dsgn_patch_train",
             lambda: bench_dsgn_patch(args.iters, args.tiny))

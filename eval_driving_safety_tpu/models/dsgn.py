@@ -129,7 +129,12 @@ class Hourglass3D(nn.Module):
         u0 = jax.image.resize(u1, x0.shape[:1] + x0.shape[1:4] + u1.shape[4:],
                               "linear")
         u0 = conv(c, 1)(u0) + x0
-        return x0, u1, u0     # three scales for multi-scale depth preds
+        # the two AUXILIARY supervision scales are the half-volume encoder/
+        # decoder tensors, not the full-volume x0: a full-volume score conv
+        # has 1 output channel, which the MXU cannot tile (N=1 pads to 128
+        # lanes — measured ~15-18 ms/scale at paper scale), while d1/u1 are
+        # 1/8 the volume. The final prediction u0 stays full-volume.
+        return d1, u1, u0     # three scales for multi-scale depth preds
 
 
 class BEVHead(nn.Module):
@@ -205,6 +210,12 @@ class DSGN(nn.Module):
         depth_preds = []
         scales = (s0, s1, s2)[-cfg.num_depth_preds:]
         for i, s in enumerate(scales):
+            # NOTE: N=1 output convs pad to the 128 lanes on the MXU, but
+            # reformulations (banded D*C->D matmuls, depthwise+sum, shifted
+            # dots) all measured SLOWER in-model than the plain conv XLA
+            # fuses (9.15-9.26 vs 9.79 it/s at paper scale) — the fix that
+            # actually paid was moving the aux scales to 1/8 volume
+            # (Hourglass3D returns d1/u1/u0).
             score = nn.Conv(1, (3, 3, 3), padding="SAME", dtype=dtype,
                             name=f"depth_score{i}")(s)[..., 0]
             if score.shape[1] != cfg.num_depth_planes:

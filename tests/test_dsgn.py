@@ -118,3 +118,4 @@ def test_box3d_corners_axis_aligned():
     # KITTI: ry=0 -> length axis along camera x, width along z
     np.testing.assert_allclose(sorted(set(np.round(c[:, 0], 4))), [-1.0, 3.0])
     np.testing.assert_allclose(sorted(set(np.round(c[:, 2], 4))), [9.1, 10.9])
+

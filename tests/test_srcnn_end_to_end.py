@@ -37,10 +37,13 @@ def _probe_accelerator():
     """-> "tpu"/"cpu"/..., "busy" if backend init timed out (a shared chip
     mid-compile blocks jax.devices()), or None if init failed outright."""
     try:
+        # 60 s: a healthy tunnel initializes in ~10-20 s; when the shared
+        # chip is mid-compile for another process, init blocks — treat as
+        # busy quickly instead of stalling the fast tier
         probe = subprocess.run(
             [sys.executable, "-c",
              "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, env=_clean_env(), timeout=300)
+            capture_output=True, text=True, env=_clean_env(), timeout=60)
     except subprocess.TimeoutExpired:
         return "busy"
     if probe.returncode != 0:
@@ -65,7 +68,7 @@ def test_accelerator_smoke():
     try:
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True, env=_clean_env(),
-                           timeout=600)
+                           timeout=300)
     except subprocess.TimeoutExpired:
         pytest.skip("accelerator BUSY during smoke (timeout; chip shared)")
     if r.returncode != 0 and any(t in r.stderr for t in BUSY_TAGS):
