@@ -226,6 +226,47 @@ def bench_dsgn_patch(iters: int, tiny: bool) -> float:
     return _time(step, iters, (params,), (im_l, im_r, patch))
 
 
+def bench_dsgn_compat_attack(iters: int, tiny: bool) -> float:
+    """PGD-attack rate through the UPSTREAM-TOPOLOGY compat assembly
+    (models/dsgn_compat.py: PSMNet extractor + full-3D-conv hourglass —
+    the module graph of the published checkpoint the reference runs,
+    /root/reference/attack/DSGN/pgd_attack.py:142-145) at the same paper-
+    scale geometry as the headline. The headline ÷ this ratio quantifies
+    what the TPU-first redesign buys at equal capability."""
+    from eval_driving_safety_tpu.config import DSGNConfig
+    from eval_driving_safety_tpu.models.dsgn_compat import (DSGNCompat,
+                                                            DSGNCompatArch)
+    from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
+
+    cfg = DSGNConfig.tiny() if tiny else DSGNConfig.full()
+    arch = DSGNCompatArch.tiny() if tiny else DSGNCompatArch()
+    model = DSGNCompat(cfg, arch)
+    k = jax.random.PRNGKey(0)
+    h, w = cfg.height, cfg.width
+    im_l = jax.random.uniform(jax.random.fold_in(k, 1), (1, h, w, 3))
+    im_r = jax.random.uniform(jax.random.fold_in(k, 2), (1, h, w, 3))
+    calib = (jnp.full((1,), 720.0), jnp.full((1,), 0.54),
+             jnp.full((1,), w / 2.0), jnp.full((1,), h / 2.0))
+    params = jax.jit(model.init)(jax.random.fold_in(k, 3), im_l, im_r,
+                                 *calib)
+    boxes = jnp.zeros((1, 8, 8)).at[:, 0].set(
+        jnp.array([2.0, 1.6, 20.0, 1.5, 1.7, 4.0, 0.3, 1.0]))
+    num_boxes = jnp.ones((1,), jnp.int32)
+    depth_gt = jnp.full((1, h, w), 20.0)
+
+    @jax.jit
+    def pgd_iter(p, il, ir):
+        def loss_fn(l, r):
+            out = model.apply(p, l, r, *calib)
+            return dsgn_total_loss(out, depth_gt, boxes, num_boxes, cfg)[0]
+        _, (gl, gr) = jax.value_and_grad(loss_fn, argnums=(0, 1))(il, ir)
+        alpha = 1.0 / 255.0
+        return (jnp.clip(il + alpha * jnp.sign(gl), 0.0, 1.0),
+                jnp.clip(ir + alpha * jnp.sign(gr), 0.0, 1.0))
+
+    return _time(pgd_iter, iters, (params,), (im_l, im_r))
+
+
 def _srcnn_setup(tiny: bool, bf16: bool = False):
     import dataclasses
 
@@ -310,7 +351,8 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="tiny configs (CI smoke; numbers not comparable)")
     ap.add_argument("--only", default=None,
-                    choices=("headline", "dsgn_patch_train", "dsgn_fwd",
+                    choices=("headline", "dsgn_patch_train", "dsgn_compat_attack",
+                             "dsgn_fwd",
                              "srcnn_attack", "srcnn_attack_fp32",
                              "srcnn_infer"))
     args = ap.parse_args()
@@ -368,6 +410,11 @@ def main():
             lambda: bench_dsgn_patch(args.iters, args.tiny))
     if v:
         extra["dsgn_patch_train_iters_per_sec"] = round(v, 4)
+
+    v = run("dsgn_compat_attack",
+            lambda: bench_dsgn_compat_attack(args.iters, args.tiny))
+    if v:
+        extra["dsgn_compat_attack_iters_per_sec"] = round(v, 4)
 
     v = run("dsgn_fwd", lambda: bench_dsgn(args.iters, args.tiny, False))
     if v and v[0]:

@@ -348,3 +348,30 @@ def test_pgd_attack_cli_dsgn_compat_ckpt(kitti_root, tmp_path):
     adv = load_image(str(p))
     # alpha = 1/255 plus up to 1/255 of png-quantization on each side
     assert 0 < np.abs(adv - clean).max() <= 2.0 / 255 + 1e-5
+
+
+@pytest.mark.slow
+def test_predict_cli_dsgn_compat_ckpt(kitti_root, tmp_path):
+    """--ckpt *.tar drives predict/export through the compat assembly:
+    thresh->decode->KITTI txt + AP hook, matching the reference's
+    published-weights inference path (predict_and_save_pgd.py:161-166)."""
+    torch = pytest.importorskip("torch")
+    from test_dsgn_compat import TINY, TDSGNUpstream, _randomize_bn
+
+    tm = TDSGNUpstream(TINY, 4).eval()
+    _randomize_bn(tm)
+    ckpt = tmp_path / "dsgn_upstream.tar"
+    torch.save({"state_dict": {f"module.{k}": v
+                               for k, v in tm.state_dict().items()}},
+               str(ckpt))
+    res = tmp_path / "results"
+    out = run_cli("predict_and_save", "--detector", "dsgn", "--tiny",
+                  "--data_path", str(kitti_root), "--ckpt", str(ckpt),
+                  "--result_dir", str(res), "--eval_ap",
+                  "--debug", "--debugnum", "1")
+    assert "compat assembly" in out
+    txt = res / "data" / "000001.txt"
+    assert txt.exists()
+    for line in open(txt).read().strip().splitlines():
+        assert len(line.split()) == 16
+    assert "AP" in out or "aos" in out
