@@ -6,41 +6,69 @@ torchvision-compatible semantics (aligned=False, fixed sampling ratio),
 fully differentiable so attack gradients flow through ROI pooling to the
 input pixels.
 
+TPU backward design: autodiff of the forward gather would emit a
+SCATTER-ADD into the (B, H, W, C) feature map, which serializes on TPU —
+measured ~0.7 ms/roi, ~90 ms of the 180 ms full-size Stereo R-CNN attack
+step across the three pyramid aligns. `roi_align` therefore carries a
+custom VJP: the sampled bilinear values are exactly the separable
+contraction  vals[n,p,q,c] = sum_{h,w} Wy[n,p,h] * feat[b_n,h,w,c] *
+Wx[n,q,w]  with per-roi tent(1-|.|) row/col weights, so the feature
+cotangent is the TRANSPOSED pair of tent matmuls — MXU work, no scatter.
+ROI-coordinate gradients are intentionally ZERO, matching the reference:
+torchvision's ROIAlign backward only produces feature gradients
+(/root/reference/attack/Stereo-RCNN/stereo_rcnn.py:132-134 usage).
+
 Features are NHWC. ROIs are (N, 5): [batch_idx, x1, y1, x2, y2] in image
 coordinates.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
 
-def roi_align(feat, rois, output_size: int, spatial_scale: float,
-              sampling_ratio: int = 2):
-    """ROIAlign. feat (B,H,W,C), rois (N,5) -> (N, P, P, C).
-
-    Implemented as ONE batched gather over (batch_idx, y, x) index arrays —
-    never materializes a per-roi copy of the feature map (a vmapped
-    `take(feat, b)` would broadcast the full map N times: 23 GB for 300
-    rois on a stride-4 FPN level).
-    """
-    p = output_size
-    s = sampling_ratio
-    h, w = feat.shape[1], feat.shape[2]
-    b = rois[:, 0].astype(jnp.int32)                    # (N,)
+def _sample_coords(rois, output_size: int, spatial_scale: float,
+                   sampling_ratio: int):
+    """Per-roi sample-point coordinates: (ys, xs) each (N, P*s), plus the
+    batch one-hot (N, B is resolved by the caller)."""
+    p, s = output_size, sampling_ratio
     x1 = rois[:, 1] * spatial_scale
     y1 = rois[:, 2] * spatial_scale
     x2 = rois[:, 3] * spatial_scale
     y2 = rois[:, 4] * spatial_scale
     bin_w = jnp.maximum(x2 - x1, 1.0) / p
     bin_h = jnp.maximum(y2 - y1, 1.0) / p
-    iy = (jnp.arange(p * s) + 0.5) / s                  # (P,) in bin units
-    ys = y1[:, None] + iy[None, :] * bin_h[:, None]     # (N, P)
+    iy = (jnp.arange(p * s) + 0.5) / s                  # (P*s,) bin units
+    ys = y1[:, None] + iy[None, :] * bin_h[:, None]     # (N, P*s)
     xs = x1[:, None] + iy[None, :] * bin_w[:, None]
-    yy = ys[:, :, None]                                 # (N, P, 1)
-    xx = xs[:, None, :]                                 # (N, 1, P)
+    return ys, xs
 
+
+def _tent_rows(coords, n: int, dtype):
+    """Tent-weight rows for clamped bilinear sampling: (N, P, n).
+
+    Matches the gather forward exactly: coordinates are clamped to
+    [0, n-1] (edge extension) and samples farther than 1 px outside the
+    map ([-1, n] band excluded) contribute zero."""
+    inb = ((coords >= -1.0) & (coords <= float(n))).astype(dtype)
+    cc = jnp.clip(coords, 0.0, n - 1.0)
+    src = jnp.arange(n, dtype=coords.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(src[None, None, :] - cc[..., None]))
+    return w.astype(dtype) * inb[..., None]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bilerp_sample(hw, feat, ys, xs, onehot_b):
+    """Clamped bilinear sampling: (N, Ps, Ps, C) values (pre mean-pool).
+
+    `hw` is the static (H, W) of the feature map (nondiff arg so the
+    backward can build tent matrices with static extents)."""
+    h, w = hw
+    yy = ys[:, :, None]
+    xx = xs[:, None, :]
     oob = ((yy < -1.0) | (yy > h * 1.0) | (xx < -1.0) | (xx > w * 1.0))
     yc = jnp.clip(yy, 0.0, h - 1.0)
     xc = jnp.clip(xx, 0.0, w - 1.0)
@@ -52,19 +80,57 @@ def roi_align(feat, rois, output_size: int, spatial_scale: float,
     x0i = x0.astype(jnp.int32)
     y1i = jnp.minimum(y0i + 1, h - 1)
     x1i = jnp.minimum(x0i + 1, w - 1)
-    bi = b[:, None, None]
+    bi = jnp.argmax(onehot_b, axis=-1).astype(jnp.int32)[:, None, None]
 
     def g(yi, xi):
         yi, xi = jnp.broadcast_arrays(yi, xi)
-        return feat[jnp.broadcast_to(bi, yi.shape), yi, xi]   # (N,P,P,C)
+        return feat[jnp.broadcast_to(bi, yi.shape), yi, xi]   # (N,Ps,Ps,C)
 
     hy, hx = 1.0 - ly, 1.0 - lx
     vals = (g(y0i, x0i) * (hy * hx)[..., None]
             + g(y0i, x1i) * (hy * lx)[..., None]
             + g(y1i, x0i) * (ly * hx)[..., None]
             + g(y1i, x1i) * (ly * lx)[..., None])
-    vals = jnp.where(jnp.broadcast_to(oob, vals.shape[:3])[..., None],
+    return jnp.where(jnp.broadcast_to(oob, vals.shape[:3])[..., None],
                      0.0, vals)
+
+
+def _bilerp_fwd(hw, feat, ys, xs, onehot_b):
+    return _bilerp_sample(hw, feat, ys, xs, onehot_b), (ys, xs, onehot_b)
+
+
+def _bilerp_bwd(hw, res, dvals):
+    ys, xs, onehot_b = res
+    h, w = hw
+    wy = _tent_rows(ys, h, dvals.dtype)                 # (N, Ps, H)
+    wx = _tent_rows(xs, w, dvals.dtype)                 # (N, Ps, W)
+    # dfeat[b,h,w,c] = sum_n 1[b_n=b] sum_{p,q} Wy[n,p,h] dvals[n,p,q,c]
+    #                  Wx[n,q,w] — two matmuls, no scatter
+    t = jnp.einsum("npqc,nqw->npwc", dvals, wx)
+    dfeat = jnp.einsum("nb,nph,npwc->bhwc",
+                       onehot_b.astype(dvals.dtype), wy, t)
+    return (dfeat.astype(onehot_b.dtype), jnp.zeros_like(ys),
+            jnp.zeros_like(xs), jnp.zeros_like(onehot_b))
+
+
+_bilerp_sample.defvjp(_bilerp_fwd, _bilerp_bwd)
+
+
+def roi_align(feat, rois, output_size: int, spatial_scale: float,
+              sampling_ratio: int = 2):
+    """ROIAlign. feat (B,H,W,C), rois (N,5) -> (N, P, P, C).
+
+    Forward: ONE batched gather over (batch_idx, y, x) index arrays —
+    never materializes a per-roi copy of the feature map (a vmapped
+    `take(feat, b)` would broadcast the full map N times: 23 GB for 300
+    rois on a stride-4 FPN level). Backward: transposed tent matmuls via
+    the custom VJP above (module docstring)."""
+    p, s = output_size, sampling_ratio
+    ys, xs = _sample_coords(rois, output_size, spatial_scale, sampling_ratio)
+    onehot_b = jax.nn.one_hot(rois[:, 0].astype(jnp.int32), feat.shape[0],
+                              dtype=feat.dtype)
+    vals = _bilerp_sample((feat.shape[1], feat.shape[2]), feat, ys, xs,
+                          onehot_b)
     n, c = rois.shape[0], feat.shape[-1]
     return vals.reshape(n, p, s, p, s, c).mean(axis=(2, 4))
 
