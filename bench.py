@@ -300,7 +300,8 @@ def _srcnn_setup(tiny: bool, bf16: bool = False):
     return cfg, model, il, ir, gt
 
 
-def bench_srcnn_attack(iters: int, tiny: bool, bf16: bool = False) -> float:
+def bench_srcnn_attack(iters: int, tiny: bool, bf16: bool = False,
+                       with_cost: bool = False):
     from eval_driving_safety_tpu.models.stereo_rcnn import total_attack_loss
 
     cfg, model, il, ir, gt = _srcnn_setup(tiny, bf16)
@@ -317,6 +318,11 @@ def bench_srcnn_attack(iters: int, tiny: bool, bf16: bool = False) -> float:
         _, (gl, gr) = jax.value_and_grad(loss_fn, argnums=(0, 1))(l, r)
         return l + jnp.sign(gl), r + jnp.sign(gr)
 
+    if with_cost:
+        compiled, flops, nbytes = _compile_with_flops(pgd_iter, variables,
+                                                      gt, il, ir)
+        return (_time(compiled, iters, (variables, gt), (il, ir)),
+                flops, nbytes)
     return _time(pgd_iter, iters, (variables, gt), (il, ir))
 
 
@@ -423,9 +429,17 @@ def main():
     # tests/test_stereo_rcnn.py::test_bf16_attack_effectiveness_matches_fp32)
     # so it is the primary SRCNN number; fp32 kept as the parity datapoint
     v = run("srcnn_attack",
-            lambda: bench_srcnn_attack(args.iters, args.tiny, bf16=True))
+            lambda: bench_srcnn_attack(args.iters, args.tiny, bf16=True,
+                                       with_cost=True))
     if v:
-        extra["srcnn_attack_iters_per_sec"] = round(v, 4)
+        rate, sflops, snbytes = v
+        extra["srcnn_attack_iters_per_sec"] = round(rate, 4)
+        if sflops:
+            extra["srcnn_attack_achieved_tflops_per_sec"] = round(
+                rate * sflops / 1e12, 3)
+        if snbytes and peak_hbm_gbps():
+            extra["srcnn_attack_hbm_bw_util"] = round(
+                rate * snbytes / 1e9 / peak_hbm_gbps(), 4)
     v = run("srcnn_attack_fp32",
             lambda: bench_srcnn_attack(args.iters, args.tiny, bf16=False))
     if v:
