@@ -6,11 +6,18 @@ resolutions on one chip:
   V100 baseline below was measured on), full fwd+bwd per iteration at
   384x1248.
 * extras (in the same JSON line, under "extra"):
+  - dsgn_patch_train_iters_per_sec — the baseline's exact unit (composite
+                                     + fwd/bwd + clamped patch update)
+  - dsgn_compat_attack_iters_per_sec — same attack through the upstream-
+                                       topology compat assembly
   - dsgn_clean_pairs_per_sec     — forward-only DSGN inference (BASELINE.md
                                    target unit)
   - srcnn_attack_iters_per_sec   — Stereo R-CNN fwd+bwd through the 6-term
-                                   loss at 600x1984
+                                   loss at 600x1984 (bf16 attack default;
+                                   srcnn_attack_fp32_iters_per_sec too)
   - srcnn_inference_imgs_per_sec — Stereo R-CNN infer-mode forward
+  - roofline extras: achieved TFLOP/s, MFU vs chip peak, achieved HBM
+    GB/s and fraction of peak bandwidth (XLA cost model; see PARITY.md)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 

@@ -165,11 +165,12 @@ class DSGNConfig:
     remat: bool = False
     # PSV warp implementation: "einsum" (tent-weight matmuls, default) or
     # "pallas" (streaming shift kernel). Both are exact lerp-gather
-    # equivalents. Measured on one v5e at the default sizes the einsum wins
-    # end-to-end (9.0 vs 5.8 attack-iters/s): its O(D*W^2*H*C) extra FLOPs
-    # ride an otherwise idle MXU, while the kernel's 8-way sublane-offset
-    # switch and C=32 lane underutilization dominate its bandwidth savings.
-    # The kernel wins when C >= 128 or the MXU is busy (larger models).
+    # equivalents. Measured at PAPER SCALE on one v5e (r3, fetch-synced
+    # clock): einsum 119.6 ms/attack-iter end-to-end vs pallas 175.3 —
+    # the einsum's O(D*W^2*H*C) extra FLOPs ride an otherwise idle MXU,
+    # while the kernel's 8-way sublane-offset switch and C=32 lane
+    # underutilization dominate its bandwidth savings. The kernel wins
+    # when C >= 128 or the MXU is busy (larger models).
     psv_method: str = "einsum"
 
     @staticmethod
