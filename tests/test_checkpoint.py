@@ -1,4 +1,6 @@
 """Orbax checkpoint save/restore roundtrip + epoch-dir discovery."""
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,3 +97,40 @@ def test_detector_optimizer_masks():
     du = np.asarray(new["uncert"] - state["uncert"])
     assert np.all(np.abs(du) > 0)
     np.testing.assert_allclose(np.abs(du), np.abs(du[0]), rtol=1e-5)
+
+
+def test_make_dsgn_model_routes_by_checkpoint_type(tmp_path):
+    """cli.common.make_dsgn_model: .tar/.pth -> compat assembly with eager
+    params; orbax path / no ckpt -> fast model with lazy params
+    (/root/reference/attack/DSGN/pgd_attack.py:142-145 weight source)."""
+    import types
+
+    import pytest as _pytest
+    torch = _pytest.importorskip("torch")
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_dsgn_compat import TINY, TDSGNUpstream
+
+    from eval_driving_safety_tpu.cli.common import make_dsgn_model
+    from eval_driving_safety_tpu.config import DSGNConfig
+    from eval_driving_safety_tpu.models.dsgn import DSGN
+    from eval_driving_safety_tpu.models.dsgn_compat import DSGNCompat
+
+    cfg = DSGNConfig.tiny()
+
+    # no checkpoint -> fast model, lazy params
+    model, params = make_dsgn_model(types.SimpleNamespace(ckpt=None), cfg)
+    assert isinstance(model, DSGN) and params is None
+
+    # orbax-style path -> fast model, params loaded later by load_params
+    model, params = make_dsgn_model(
+        types.SimpleNamespace(ckpt="/ckpts/epoch3"), cfg)
+    assert isinstance(model, DSGN) and params is None
+
+    # published .tar -> compat assembly with imported params
+    tm = TDSGNUpstream(TINY, cfg.num_voxels_y).eval()
+    path = str(tmp_path / "up.tar")
+    torch.save({"state_dict": tm.state_dict()}, path)
+    model, params = make_dsgn_model(types.SimpleNamespace(ckpt=path), cfg)
+    assert isinstance(model, DSGNCompat)
+    assert params is not None and "params" in params
