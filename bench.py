@@ -315,6 +315,9 @@ def bench_srcnn_attack(iters: int, tiny: bool, bf16: bool = False,
     rng = jax.random.PRNGKey(3)
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), il, ir, gt=gt, rng=rng, mode="attack"))()
+    if bf16:
+        from eval_driving_safety_tpu.models.common import cast_matmul_params
+        variables = cast_matmul_params(variables)
     uncert = jnp.zeros((6,))
 
     @jax.jit

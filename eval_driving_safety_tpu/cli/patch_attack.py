@@ -196,6 +196,10 @@ def main():
                         uncert = jnp.asarray(aux["uncert"])
                         log(f"using checkpoint uncert="
                             f"{np.asarray(uncert).round(3)}")
+                    if cfg.dtype == "bfloat16":
+                        from eval_driving_safety_tpu.models.common import \
+                            cast_matmul_params
+                        params = cast_matmul_params(params)
                 step = lambda p: srcnn_step(params, p, imgs_l, imgs_r,
                                             centers_l, centers_r, gt,
                                             uncert)

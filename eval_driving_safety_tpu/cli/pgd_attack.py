@@ -209,6 +209,10 @@ def run_srcnn(args):
                 # loss (reference pgd_attack.py:165-171)
                 uncert = jnp.asarray(aux["uncert"])
                 log(f"using checkpoint uncert={np.asarray(uncert).round(3)}")
+            if cfg.dtype == "bfloat16":
+                from eval_driving_safety_tpu.models.common import \
+                    cast_matmul_params
+                params = cast_matmul_params(params)
         sh = _shard_arrays({"il": b["im_left"], "ir": b["im_right"],
                             "gt": gt})
         res = attack(params, sh["il"], sh["ir"], sh["gt"])

@@ -79,6 +79,31 @@ class ConvBnRelu3D(nn.Module):
         return nn.relu(x) if self.relu else x
 
 
+def cast_matmul_params(variables, dtype=jnp.bfloat16):
+    """Pre-cast every >=2-D float32 kernel in `variables['params']` to
+    `dtype` for bf16-trunk attack/bench loops.
+
+    Flax modules with `dtype=bf16` cast their kernels at every use, and XLA
+    emits a SEPARATE f32->bf16 convert for the forward and backward matmul
+    of each layer — each one re-reading the full f32 kernel from HBM
+    (measured: the 103 MB Stereo R-CNN fc1 kernel alone was converted twice
+    per attack step). Casting once outside jit produces bit-identical math
+    (same rounding, then the same bf16 matmuls) and halves the weight-read
+    traffic. 1-D params (BN stats/scales, biases) stay f32, so folded-BN
+    arithmetic keeps full precision; non-`params` collections (e.g. anchor
+    tables used by fp32 decode) are untouched."""
+    import jax
+
+    def cast(p):
+        if getattr(p, "ndim", 0) >= 2 and p.dtype == jnp.float32:
+            return p.astype(dtype)
+        return p
+
+    out = dict(variables)
+    out["params"] = jax.tree_util.tree_map(cast, variables["params"])
+    return out
+
+
 def upsample_bilinear(x, out_h: int, out_w: int):
     """Bilinear resize (align_corners=False), matching the reference's
     `F.interpolate(..., mode='bilinear', align_corners=False)`

@@ -122,9 +122,12 @@ def anchor_target_layer(anchors, gt_left, gt_right, gt_merge, num_boxes,
         labels = jnp.where(drop_fg, -1, labels)
         n_fg = (labels == 1).sum()
         num_bg = batch_size - jnp.minimum(n_fg, num_fg)
+        # num_bg <= batch_size, so a bounded top_k replaces the full
+        # descending sort of all ~190k anchor ranks (a full TPU sort here
+        # is pure HBM traffic; top_k with small static k is not)
         bg_rank = jnp.where(labels == 0, jax.random.uniform(kb, (n,)), -1.0)
-        bg_sorted = jnp.sort(bg_rank)[::-1]
-        bg_cut = bg_sorted[jnp.clip(num_bg - 1, 0, n - 1)]
+        bg_sorted, _ = jax.lax.top_k(bg_rank, batch_size)
+        bg_cut = bg_sorted[jnp.clip(num_bg - 1, 0, batch_size - 1)]
         drop_bg = (labels == 0) & (bg_rank < bg_cut)
         labels = jnp.where(drop_bg, -1, labels)
 

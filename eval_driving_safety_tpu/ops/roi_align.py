@@ -87,10 +87,17 @@ def _bilerp_sample(hw, feat, ys, xs, onehot_b):
         return feat[jnp.broadcast_to(bi, yi.shape), yi, xi]   # (N,Ps,Ps,C)
 
     hy, hx = 1.0 - ly, 1.0 - lx
-    vals = (g(y0i, x0i) * (hy * hx)[..., None]
-            + g(y0i, x1i) * (hy * lx)[..., None]
-            + g(y1i, x0i) * (ly * hx)[..., None]
-            + g(y1i, x1i) * (ly * lx)[..., None])
+    # tent weights are f32 (roi coords); cast them to the feature dtype so
+    # a bf16 trunk keeps the whole 4-tap accumulation in bf16 — promoting
+    # to f32 here doubles the HBM traffic of the hottest align tensors
+    # (measured: f32 (N,Ps,Ps,C) tap products dominated the step's HLO)
+    def w(a):
+        return a[..., None].astype(feat.dtype)
+
+    vals = (g(y0i, x0i) * w(hy * hx)
+            + g(y0i, x1i) * w(hy * lx)
+            + g(y1i, x0i) * w(ly * hx)
+            + g(y1i, x1i) * w(ly * lx))
     return jnp.where(jnp.broadcast_to(oob, vals.shape[:3])[..., None],
                      0.0, vals)
 
@@ -105,10 +112,22 @@ def _bilerp_bwd(hw, res, dvals):
     wy = _tent_rows(ys, h, dvals.dtype)                 # (N, Ps, H)
     wx = _tent_rows(xs, w, dvals.dtype)                 # (N, Ps, W)
     # dfeat[b,h,w,c] = sum_n 1[b_n=b] sum_{p,q} Wy[n,p,h] dvals[n,p,q,c]
-    #                  Wx[n,q,w] — two matmuls, no scatter
-    t = jnp.einsum("npqc,nqw->npwc", dvals, wx)
-    dfeat = jnp.einsum("nb,nph,npwc->bhwc",
-                       onehot_b.astype(dvals.dtype), wy, t)
+    #                  Wx[n,q,w] — two matmuls, no scatter. This backward is
+    #                  HBM-traffic-bound, not FLOP-bound, so the contraction
+    #                  shape matters twice over:
+    #                  1. contract the row (H) side FIRST — KITTI feature
+    #                     maps are wide (W ~ 3.3x H), so the (n,h,q,c)
+    #                     intermediate is ~3.3x smaller than (n,p,w,c);
+    #                  2. fold the batch one-hot into the column tents and
+    #                     finish with ONE dot_general contracting (n,q)
+    #                     JOINTLY. A 3-operand einsum "nb,nhqc,nqw->bhwc"
+    #                     materializes the per-roi full-map gradient
+    #                     (n,h,w,c) before reducing n — ~2.4 GB at the
+    #                     stride-4 level, measured ~10 GB/iter of pure HBM
+    #                     traffic across the three pyramid aligns.
+    t = jnp.einsum("nph,npqc->nhqc", wy, dvals)
+    wxb = jnp.einsum("nqw,nb->nqwb", wx, onehot_b.astype(dvals.dtype))
+    dfeat = jnp.einsum("nhqc,nqwb->bhwc", t, wxb)
     return (dfeat.astype(onehot_b.dtype), jnp.zeros_like(ys),
             jnp.zeros_like(xs), jnp.zeros_like(onehot_b))
 
