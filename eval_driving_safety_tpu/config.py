@@ -172,6 +172,13 @@ class DSGNConfig:
     # underutilization dominate its bandwidth savings. The kernel wins
     # when C >= 128 or the MXU is busy (larger models).
     psv_method: str = "einsum"
+    # depth-score head formulation: "tap27" (default) computes the
+    # 1-channel 3^3 score conv as a C->27 tap-projection matmul + static
+    # slice-adds (models/dsgn.py Score3D; the N=1 conv cannot tile the
+    # MXU — measured 9.2 vs 20.5 ms fwd+bwd isolated, and 11.20 vs 9.73
+    # it/s on the paper-scale attack headline); "conv3" keeps the plain
+    # conv. Parameters are interchangeable between the two.
+    score_method: str = "tap27"
 
     @staticmethod
     def tiny() -> "DSGNConfig":

@@ -100,6 +100,52 @@ class ConvBnRelu2p1D(nn.Module):
         return nn.relu(y) if self.relu else y
 
 
+class Score3D(nn.Module):
+    """1-output-channel 3x3x3 matching-score convolution, reformulated for
+    the MXU.
+
+    The upstream head is a plain Conv3d(C, 1, 3) over the cost volume
+    (/root/reference/attack/DSGN — `classif1` in the published topology).
+    An N=1 output conv pads to the MXU's 128 lanes (measured 20.5 ms
+    fwd+bwd isolated at the paper-scale full volume). This module computes
+    the SAME function as two cheap stages:
+      1. ONE matmul projecting C -> 27 per-tap dot products (N=27 tiles
+         ~5x better than N=1) on the padded volume, emitted channels-first;
+      2. 27 STATIC slice-adds of that tensor (f32 accumulation), one per
+         (dd,dh,dw) tap offset — ~0.5 GB of sequential traffic, vs the 27
+         full-volume rolls of a naive shifted-dot formulation (measured
+         85 ms) or the banded (D*C->D) matmul (slower in-model).
+    Isolated fwd+bwd: 9.2 ms vs 20.5 ms for the XLA conv lowering.
+
+    Parameters are laid out EXACTLY like `nn.Conv(1, (3,3,3))` — "kernel"
+    (3,3,3,C,1) + "bias" (1,) — so trainer/orbax checkpoints are
+    interchangeable between the two formulations.
+    """
+    dtype: Any = jnp.float32
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):               # (B, D, H, W, C) -> (B, D, H, W)
+        b, d, h, w, c = x.shape
+        kernel = self.param("kernel", nn.linear.default_kernel_init,
+                            (3, 3, 3, c, 1))
+        wt = kernel[..., 0].reshape(27, c).astype(self.dtype)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        y = jnp.einsum("bdhwc,tc->tbdhw", xp, wt,
+                       preferred_element_type=self.dtype)
+        out = jnp.zeros((b, d, h, w), jnp.float32)
+        t = 0
+        for i in range(3):
+            for j in range(3):
+                for k in range(3):
+                    out = out + y[t, :, i:i + d, j:j + h, k:k + w].astype(
+                        jnp.float32)
+                    t += 1
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros, (1,))[0]
+        return out.astype(self.dtype)
+
+
 class Hourglass3D(nn.Module):
     """Conv hourglass over the (D, H, W) cost volume.
 
@@ -210,14 +256,18 @@ class DSGN(nn.Module):
         depth_preds = []
         scales = (s0, s1, s2)[-cfg.num_depth_preds:]
         for i, s in enumerate(scales):
-            # NOTE: N=1 output convs pad to the 128 lanes on the MXU, but
-            # reformulations (banded D*C->D matmuls, depthwise+sum, shifted
-            # dots) all measured SLOWER in-model than the plain conv XLA
-            # fuses (9.15-9.26 vs 9.79 it/s at paper scale) — the fix that
-            # actually paid was moving the aux scales to 1/8 volume
-            # (Hourglass3D returns d1/u1/u0).
-            score = nn.Conv(1, (3, 3, 3), padding="SAME", dtype=dtype,
-                            name=f"depth_score{i}")(s)[..., 0]
+            # score_method="tap27" (Score3D) reformulates the N=1 conv as a
+            # tap-projection matmul + static slice-adds; "conv3" keeps the
+            # plain XLA conv. Params are interchangeable between the two.
+            # (Earlier reformulations — banded D*C->D matmuls, depthwise+
+            # sum, rolled shifted dots — all measured SLOWER in-model,
+            # 9.15-9.26 vs 9.79 it/s; the aux scales also moved to the 1/8
+            # volume d1/u1 for the same N=1 reason.)
+            if cfg.score_method == "tap27":
+                score = Score3D(dtype=dtype, name=f"depth_score{i}")(s)
+            else:
+                score = nn.Conv(1, (3, 3, 3), padding="SAME", dtype=dtype,
+                                name=f"depth_score{i}")(s)[..., 0]
             if score.shape[1] != cfg.num_depth_planes:
                 score = jax.image.resize(
                     score, (score.shape[0], cfg.num_depth_planes,

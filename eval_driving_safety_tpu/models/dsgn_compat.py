@@ -280,8 +280,12 @@ class DSGNCompat(nn.Module):
 
         score = CompatConvBn(cv, dims=3, dtype=dtype,
                              name="classif1_0")(hg)
-        score = nn.Conv(1, (3, 3, 3), padding="SAME", use_bias=False,
-                        dtype=dtype, name="classif1_1")(score)[..., 0]
+        # the published checkpoint's 1-channel matching-score Conv3d, run
+        # through the tap-projection formulation (models/dsgn.py Score3D —
+        # identical params and math, ~2x faster than the N=1 conv lowering)
+        from eval_driving_safety_tpu.models.dsgn import Score3D
+        score = Score3D(dtype=dtype, use_bias=False,
+                        name="classif1_1")(score)
         depth = soft_argmin_depth(score.astype(jnp.float32), planes)
         full_h, full_w = im_left.shape[1], im_left.shape[2]
         depth = jax.image.resize(

@@ -105,12 +105,9 @@ class StereoRPNHead(nn.Module):
                            name="rpn_box")
         cls_all, box_all = [], []
         for fl, fr in zip(feats_left, feats_right):
-            # one batch-2B trunk call per level (views batched, then split
-            # back to the channel concat) — same math, better MXU tiling
-            b = fl.shape[0]
-            t = nn.relu(trunk(jnp.concatenate([fl, fr], axis=0)))
-            x = jnp.concatenate([t[:b], t[b:]], axis=-1)
-            h, w = x.shape[1], x.shape[2]
+            x = jnp.concatenate([nn.relu(trunk(fl)), nn.relu(trunk(fr))],
+                                axis=-1)
+            b, h, w, _ = x.shape
             cls = cls_head(x).reshape(b, h * w * self.num_anchors, 2)
             box = box_head(x).reshape(b, h * w * self.num_anchors, 6)
             cls_all.append(cls)
@@ -200,17 +197,17 @@ class StereoRCNN(nn.Module):
                                  num_convs=self.cfg.kpts_convs, dtype=dtype)
 
     def extract_pyramids(self, im_left, im_right):
-        # both views ride ONE batch-2B backbone+FPN call: at 600x1984 the
-        # siamese trunk fwd+bwd is the dominant attack-step cost (measured
-        # 65.7 ms of 133), and two batch-1 calls leave the MXU underfed in
-        # the deep stages (38x124 spatial) — batching the views recovers
-        # utilization with bit-identical per-view math (frozen BN, convs)
-        b = im_left.shape[0]
-        im = jnp.concatenate([im_left, im_right], axis=0)
-        c2, c3, c4, c5 = self.backbone(im.astype(self.compute_dtype))
-        pyr = self.fpn(c2, c3, c4, c5)      # p2..p6, each (2B, h, w, c)
-        pl = tuple(p[:b] for p in pyr)
-        pr = tuple(p[b:] for p in pyr)
+        # two separate per-view backbone calls, NOT one batch-2B call:
+        # batching the views measured NEUTRAL for the attack step (it is
+        # HBM-bandwidth-bound at ~77% of peak, so MXU utilization is not
+        # the limit) and -14% for fp32 forward-only inference (16.0 ->
+        # 13.8 imgs/s)
+        im_left = im_left.astype(self.compute_dtype)
+        im_right = im_right.astype(self.compute_dtype)
+        c2l, c3l, c4l, c5l = self.backbone(im_left)
+        c2r, c3r, c4r, c5r = self.backbone(im_right)
+        pl = self.fpn(c2l, c3l, c4l, c5l)   # p2..p6
+        pr = self.fpn(c2r, c3r, c4r, c5r)
         return pl, pr
 
     def _anchors(self, height, width):

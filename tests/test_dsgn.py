@@ -119,3 +119,33 @@ def test_box3d_corners_axis_aligned():
     np.testing.assert_allclose(sorted(set(np.round(c[:, 0], 4))), [-1.0, 3.0])
     np.testing.assert_allclose(sorted(set(np.round(c[:, 2], 4))), [9.1, 10.9])
 
+
+
+def test_score3d_matches_conv3d_with_shared_params():
+    """Score3D (the tap-projection reformulation of the 1-channel 3^3
+    score conv, config score_method="tap27") computes the SAME function as
+    nn.Conv(1, (3,3,3)) from the SAME parameter tree — outputs and input
+    gradients — so checkpoints are interchangeable between formulations."""
+    from flax import linen as nn
+
+    from eval_driving_safety_tpu.models.dsgn import Score3D
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 8, 10, 5))
+    ref = nn.Conv(1, (3, 3, 3), padding="SAME")
+    new = Score3D()
+    params = ref.init(jax.random.PRNGKey(1), x)
+    out_ref = ref.apply(params, x)[..., 0]
+    out_new = new.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_new),
+                               atol=1e-5)
+    g_ref = jax.grad(lambda a: (ref.apply(params, a) ** 2).sum())(x)
+    g_new = jax.grad(lambda a: (new.apply(params, a) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_new),
+                               atol=1e-4)
+    # bias-free variant matches the compat assembly's classif1_1 layout
+    ref_nb = nn.Conv(1, (3, 3, 3), padding="SAME", use_bias=False)
+    new_nb = Score3D(use_bias=False)
+    p_nb = ref_nb.init(jax.random.PRNGKey(2), x)
+    np.testing.assert_allclose(
+        np.asarray(ref_nb.apply(p_nb, x)[..., 0]),
+        np.asarray(new_nb.apply(p_nb, x)), atol=1e-5)
