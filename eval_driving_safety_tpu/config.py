@@ -179,6 +179,14 @@ class DSGNConfig:
     # it/s on the paper-scale attack headline); "conv3" keeps the plain
     # conv. Parameters are interchangeable between the two.
     score_method: str = "tap27"
+    # depth-stage formulation of the (2+1)D volume convs: "transpose"
+    # runs the D conv as a 1D conv on (B*H*W, D, C) — XLA's best own
+    # lowering, but it materializes two full-volume layout copies per
+    # conv per pass (~7 GB/iter at paper scale); "pallas" fuses D-conv +
+    # frozen BN + ReLU into one kernel that reads the volume once in its
+    # native layout (ops/pallas_depthconv.py; stride-2 encoder blocks
+    # keep the transpose form either way).
+    depthconv_method: str = "transpose"
 
     @staticmethod
     def tiny() -> "DSGNConfig":

@@ -75,11 +75,22 @@ class ConvBnRelu2p1D(nn.Module):
     the batch, then 3 over D with (H, W) folded — same receptive field as a
     3x3x3 conv, but both stages are dense 2D/1D convs that tile onto the
     MXU far better than small-channel Conv3D (measured ~1.4x end-to-end).
+
+    depth_method:
+      * "transpose" — the D-stage as a 1D conv on (B*H*W, D, C). XLA's
+        best own lowering, but it materializes two full-volume layout
+        copies per conv per pass (~7 GB/iter at paper scale, HLO audit).
+      * "pallas" — ops.pallas_depthconv.depth_tap_conv: fused D-stage +
+        frozen BN + ReLU reading the volume once in its native layout
+        (stride-1 only; stride-2 blocks keep the transpose form).
+    Both methods share one parameter tree (spatial/depth conv kernels +
+    FrozenBatchNorm_0), so checkpoints are interchangeable.
     """
     features: int
     stride: int = 1
     relu: bool = True
     dtype: Any = jnp.float32
+    depth_method: str = "transpose"
 
     @nn.compact
     def __call__(self, x):               # (B, D, H, W, C)
@@ -89,15 +100,54 @@ class ConvBnRelu2p1D(nn.Module):
                     padding="SAME", use_bias=False, dtype=self.dtype,
                     name="spatial")(x.reshape(b * d, h, w, c))
         h2, w2 = y.shape[1], y.shape[2]
-        y = y.reshape(b, d, h2, w2, self.features)
-        y = y.transpose(0, 2, 3, 1, 4).reshape(b * h2 * w2, d, self.features)
-        y = nn.Conv(self.features, (3,), strides=(self.stride,),
+        f = self.features
+        if self.depth_method == "pallas" and self.stride == 1:
+            from eval_driving_safety_tpu.ops.pallas_depthconv import \
+                depth_tap_conv
+            dk = _DepthKernel(f, name="depth")(f)
+            scale, bias, mean, var = _BNParams(f,
+                                               name="FrozenBatchNorm_0")()
+            eps = 1e-5
+            inv = (scale * jnp.reciprocal(jnp.sqrt(var + eps)))
+            off = bias - mean * inv
+            y = depth_tap_conv(y.reshape(b, d, h2, w2, f), dk,
+                               inv.astype(self.dtype),
+                               off.astype(self.dtype), relu=self.relu)
+            return y
+        y = y.reshape(b, d, h2, w2, f)
+        y = y.transpose(0, 2, 3, 1, 4).reshape(b * h2 * w2, d, f)
+        y = nn.Conv(f, (3,), strides=(self.stride,),
                     padding="SAME", use_bias=False, dtype=self.dtype,
                     name="depth")(y)
         d2 = y.shape[1]
-        y = y.reshape(b, h2, w2, d2, self.features).transpose(0, 3, 1, 2, 4)
+        y = y.reshape(b, h2, w2, d2, f).transpose(0, 3, 1, 2, 4)
         y = FrozenBatchNorm(self.features, dtype=self.dtype)(y)
         return nn.relu(y) if self.relu else y
+
+
+class _DepthKernel(nn.Module):
+    """Parameter holder matching `nn.Conv(F, (3,), use_bias=False)` named
+    "depth" — keeps the pallas depth path checkpoint-compatible with the
+    transpose path."""
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param("kernel", nn.linear.default_kernel_init,
+                          (3, in_features, self.features))
+
+
+class _BNParams(nn.Module):
+    """Parameter holder matching models.common.FrozenBatchNorm."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        f = self.features
+        return (self.param("scale", nn.initializers.ones, (f,)),
+                self.param("bias", nn.initializers.zeros, (f,)),
+                self.param("mean", nn.initializers.zeros, (f,)),
+                self.param("var", nn.initializers.ones, (f,)))
 
 
 class Score3D(nn.Module):
@@ -155,12 +205,13 @@ class Hourglass3D(nn.Module):
     channels: int
     dtype: Any = jnp.float32
     factorized: bool = True
+    depth_method: str = "transpose"
 
     @nn.compact
     def __call__(self, x):
         c = self.channels
-        conv = ((lambda ch, stride: ConvBnRelu2p1D(ch, stride,
-                                                   dtype=self.dtype))
+        conv = ((lambda ch, stride: ConvBnRelu2p1D(
+            ch, stride, dtype=self.dtype, depth_method=self.depth_method))
                 if self.factorized else
                 (lambda ch, stride: ConvBnRelu3D(ch, 3, stride,
                                                  dtype=self.dtype)))
@@ -248,7 +299,8 @@ class DSGN(nn.Module):
         # instead of keeping its D x H x W activations in HBM (SURVEY.md §5
         # long-context analogue — the cost volumes are the memory axis)
         hg_cls = nn.remat(Hourglass3D) if cfg.remat else Hourglass3D
-        hourglass = hg_cls(cfg.psv_channels, dtype=dtype)
+        hourglass = hg_cls(cfg.psv_channels, dtype=dtype,
+                           depth_method=cfg.depthconv_method)
         s0, s1, s2 = hourglass(psv)
 
         # multi-scale depth regression: 1-channel matching score per scale
@@ -284,13 +336,17 @@ class DSGN(nn.Module):
             # use the factorized (2+1)D form like the hourglass — dense
             # 3x3x3 Conv3D at these channel counts measured 2.6x slower
             # on the MXU (23.6 ms vs 9.1 ms fwd+bwd at paper scale)
-            gv_in = ConvBnRelu2p1D(cfg.gv_channels, dtype=dtype)(s2)
+            gv_in = ConvBnRelu2p1D(cfg.gv_channels, dtype=dtype,
+                                   depth_method=cfg.depthconv_method)(s2)
             voxels = psv_to_3dgv(gv_in, planes.astype(jnp.float32),
                                  calib_fu, calib_cu, calib_cv, cfg,
                                  stride)                  # (B,Z,Y,X,C)
-            voxels = ConvBnRelu2p1D(cfg.gv_channels,
-                                    dtype=dtype)(voxels.astype(dtype))
-            voxels = ConvBnRelu2p1D(cfg.gv_channels, dtype=dtype)(voxels)
+            voxels = ConvBnRelu2p1D(
+                cfg.gv_channels, dtype=dtype,
+                depth_method=cfg.depthconv_method)(voxels.astype(dtype))
+            voxels = ConvBnRelu2p1D(
+                cfg.gv_channels, dtype=dtype,
+                depth_method=cfg.depthconv_method)(voxels)
             b, z, y, x, c = voxels.shape
             bev = voxels.transpose(0, 1, 3, 2, 4).reshape(b, z, x, y * c)
             cls, reg, ctr = BEVHead(cfg.num_classes, cfg.head_channels,
