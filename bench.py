@@ -10,6 +10,8 @@ resolutions on one chip:
                                      + fwd/bwd + clamped patch update)
   - dsgn_compat_attack_iters_per_sec — same attack through the upstream-
                                        topology compat assembly
+  - dsgn_pallas_depthconv_attack_iters_per_sec — headline step with the
+                                       fused Pallas depth-tap conv
   - dsgn_clean_pairs_per_sec     — forward-only DSGN inference (BASELINE.md
                                    target unit)
   - srcnn_attack_iters_per_sec   — Stereo R-CNN fwd+bwd through the 6-term
@@ -131,12 +133,16 @@ def _time(fn, n_iters, const, state):
 
 
 def bench_dsgn(iters: int, tiny: bool, attack: bool,
-               remat: bool = False) -> float:
+               remat: bool = False, depthconv: str | None = None) -> float:
+    import dataclasses
+
     from eval_driving_safety_tpu.config import DSGNConfig
     from eval_driving_safety_tpu.models.dsgn import DSGN
     from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
 
     cfg = DSGNConfig.tiny() if tiny else DSGNConfig.full(remat=remat)
+    if depthconv is not None:
+        cfg = dataclasses.replace(cfg, depthconv_method=depthconv)
     model = DSGN(cfg)
     k = jax.random.PRNGKey(0)
     h, w = cfg.height, cfg.width
@@ -367,7 +373,8 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="tiny configs (CI smoke; numbers not comparable)")
     ap.add_argument("--only", default=None,
-                    choices=("headline", "dsgn_patch_train", "dsgn_compat_attack",
+                    choices=("headline", "dsgn_pallas_attack",
+                             "dsgn_patch_train", "dsgn_compat_attack",
                              "dsgn_fwd",
                              "srcnn_attack", "srcnn_attack_fp32",
                              "srcnn_infer"))
@@ -421,6 +428,15 @@ def main():
             # the roofline that actually binds: fraction of peak HBM
             # bandwidth sustained (XLA post-fusion bytes-accessed model)
             extra["dsgn_attack_hbm_bw_util"] = round(gbps / bw, 4)
+
+    # same attack step with the fused Pallas depth-tap conv replacing the
+    # transpose-form depth stages (ops/pallas_depthconv.py) — recorded
+    # alongside the transpose headline to decide the default on real HW
+    v = run("dsgn_pallas_attack",
+            lambda: bench_dsgn(args.iters, args.tiny, True,
+                               depthconv="pallas"))
+    if v and v[0]:
+        extra["dsgn_pallas_depthconv_attack_iters_per_sec"] = round(v[0], 4)
 
     v = run("dsgn_patch_train",
             lambda: bench_dsgn_patch(args.iters, args.tiny))
