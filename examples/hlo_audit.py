@@ -1,0 +1,190 @@
+"""HBM-traffic audit of a compiled attack step.
+
+Compiles the same jitted PGD iteration `bench.py` times (DSGN headline or
+Stereo R-CNN), dumps the post-optimization HLO, and prints an op census
+ranked by output bytes — the methodology that found round 3's wins (layout
+copies around the depth-stage transposes, f32 promotions, duplicate
+convert ops, 3-operand einsums).
+
+The census counts each op's OUTPUT buffer only: it underestimates total
+traffic (operand reads are not double-counted) but ranks the movers
+correctly, and the "copy/transpose/convert" categories are pure overhead a
+reformulation can delete. Run on the TPU backend so the audited HLO is the
+one the chip executes; compiles hit the on-disk cache if bench ran first.
+
+Usage:
+    python examples/hlo_audit.py --model dsgn [--tiny] [--top 30]
+    python examples/hlo_audit.py --model dsgn --depthconv pallas
+    python examples/hlo_audit.py --model srcnn --dump /tmp/srcnn.hlo
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import re
+import sys
+
+_SHAPE_RE = re.compile(
+    r"=\s+(?:\()?([a-z0-9]+)\[([0-9,]*)\][^ ]*\s+([a-z0-9_-]+)\(")
+_ITEMSIZE = {
+    "f64": 8, "s64": 8, "u64": 8,
+    "f32": 4, "s32": 4, "u32": 4,
+    "bf16": 2, "f16": 2, "s16": 2, "u16": 2,
+    "s8": 1, "u8": 1, "pred": 1,
+}
+
+
+# no output buffer of their own — aliases of other ops' buffers
+_ALIAS_OPS = frozenset((
+    "parameter", "tuple", "get-tuple-element", "bitcast", "constant"))
+
+
+def census(hlo_text: str, top: int, entry_only: bool = True):
+    """Parse post-optimization HLO text -> (per-opcode totals, top ops).
+
+    With entry_only (default), only instructions of the ENTRY computation
+    are counted — post-fusion those are exactly the ops that materialize
+    an HBM buffer; instructions inside `%fused_computation` bodies are
+    elementwise work on registers/VMEM and would inflate the census.
+    """
+    by_op = collections.Counter()
+    by_op_n = collections.Counter()
+    ops = []
+    in_entry = not entry_only
+    for line in hlo_text.splitlines():
+        if entry_only:
+            if line.startswith("ENTRY"):
+                in_entry = True
+                continue
+            if in_entry and line.startswith("}"):
+                in_entry = False
+            if not in_entry:
+                continue
+        m = _SHAPE_RE.search(line)
+        if not m:
+            continue
+        dtype, dims, opcode = m.groups()
+        if dtype not in _ITEMSIZE or opcode in _ALIAS_OPS:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        nbytes = n * _ITEMSIZE[dtype]
+        by_op[opcode] += nbytes
+        by_op_n[opcode] += 1
+        ops.append((nbytes, opcode, dtype, dims, line.strip()[:120]))
+    ops.sort(reverse=True)
+    return by_op, by_op_n, ops[:top]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=("dsgn", "srcnn"), default="dsgn")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--depthconv", default=None,
+                    choices=(None, "transpose", "pallas"))
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--dump", default=None,
+                    help="also write the full HLO text here")
+    ap.add_argument("--cpu", action="store_true",
+                    help="audit the CPU-backend HLO (smoke/testing; the "
+                         "env var is overridden by the image's "
+                         "sitecustomize, so force via jax.config)")
+    ap.add_argument("--all-computations", action="store_true",
+                    help="census every computation, not just ENTRY "
+                         "(includes fusion bodies that never materialize)")
+    args = ap.parse_args()
+
+    sys.path.insert(0, ".")
+    import dataclasses
+    import os
+
+    import bench  # repo-root bench.py: reuse its exact step construction
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_eval_driving_safety"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.model == "dsgn":
+        from eval_driving_safety_tpu.config import DSGNConfig
+        from eval_driving_safety_tpu.models.dsgn import DSGN
+        from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
+
+        cfg = DSGNConfig.tiny() if args.tiny else DSGNConfig.full()
+        if args.depthconv:
+            cfg = dataclasses.replace(cfg, depthconv_method=args.depthconv)
+        model = DSGN(cfg)
+        k = jax.random.PRNGKey(0)
+        h, w = cfg.height, cfg.width
+        im_l = jax.random.uniform(jax.random.fold_in(k, 1), (1, h, w, 3))
+        im_r = jax.random.uniform(jax.random.fold_in(k, 2), (1, h, w, 3))
+        calib = (jnp.full((1,), 720.0), jnp.full((1,), 0.54),
+                 jnp.full((1,), w / 2.0), jnp.full((1,), h / 2.0))
+        params = jax.jit(model.init)(jax.random.fold_in(k, 3), im_l, im_r,
+                                     *calib)
+        boxes = jnp.zeros((1, 8, 8)).at[:, 0].set(
+            jnp.array([2.0, 1.6, 20.0, 1.5, 1.7, 4.0, 0.3, 1.0]))
+        num_boxes = jnp.ones((1,), jnp.int32)
+        depth_gt = jnp.full((1, h, w), 20.0)
+
+        def loss_fn(p, il, ir):
+            out = model.apply(p, il, ir, *calib)
+            return dsgn_total_loss(out, depth_gt, boxes, num_boxes, cfg)[0]
+
+        @jax.jit
+        def step(p, il, ir):
+            loss, (gl, gr) = jax.value_and_grad(
+                loss_fn, argnums=(1, 2))(p, il, ir)
+            a = 1.0 / 255.0
+            return (jnp.clip(il + a * jnp.sign(gl), 0.0, 1.0),
+                    jnp.clip(ir + a * jnp.sign(gr), 0.0, 1.0))
+
+        compiled = step.lower(params, im_l, im_r).compile()
+    else:
+        from eval_driving_safety_tpu.models.common import cast_matmul_params
+        from eval_driving_safety_tpu.models.stereo_rcnn import \
+            total_attack_loss
+
+        # bf16 trunk — the attack CLIs' default since round 3
+        cfg, model, il, ir, gt = bench._srcnn_setup(args.tiny, bf16=True)
+        rng = jax.random.PRNGKey(3)
+        variables = jax.jit(lambda: model.init(
+            jax.random.PRNGKey(0), il, ir, gt=gt, rng=rng, mode="attack"))()
+        variables = cast_matmul_params(variables)
+        uncert = jnp.zeros((6,))
+
+        @jax.jit
+        def step(v, g, l, r):
+            def loss_fn(l_, r_):
+                out = model.apply(v, l_, r_, gt=g, rng=rng, mode="attack")
+                return total_attack_loss(out.losses, uncert)
+            _, (gl, gr) = jax.value_and_grad(loss_fn, argnums=(0, 1))(l, r)
+            return l + jnp.sign(gl), r + jnp.sign(gr)
+
+        compiled = step.lower(variables, gt, il, ir).compile()
+
+    text = compiled.as_text()
+    if args.dump:
+        with open(args.dump, "w") as f:
+            f.write(text)
+        print(f"HLO written to {args.dump} ({len(text)} chars)")
+
+    by_op, by_op_n, top_ops = census(text, args.top,
+                                     entry_only=not args.all_computations)
+    total = sum(by_op.values())
+    print(f"\n== output-bytes by opcode (total {total / 1e9:.2f} GB) ==")
+    for op, b in by_op.most_common(20):
+        print(f"  {op:<22} {b / 1e9:8.3f} GB  x{by_op_n[op]}")
+    print(f"\n== top {args.top} ops by output bytes ==")
+    for nbytes, opcode, dtype, dims, line in top_ops:
+        print(f"  {nbytes / 1e6:9.1f} MB  {opcode:<14} {dtype}[{dims}]")
+        print(f"      {line}")
+
+
+if __name__ == "__main__":
+    main()
