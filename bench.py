@@ -239,19 +239,24 @@ def bench_dsgn_patch(iters: int, tiny: bool) -> float:
     return _time(step, iters, (params,), (im_l, im_r, patch))
 
 
-def bench_dsgn_compat_attack(iters: int, tiny: bool) -> float:
+def bench_dsgn_compat_attack(iters: int, tiny: bool,
+                             conv3d: str | None = None) -> float:
     """PGD-attack rate through the UPSTREAM-TOPOLOGY compat assembly
     (models/dsgn_compat.py: PSMNet extractor + full-3D-conv hourglass —
     the module graph of the published checkpoint the reference runs,
     /root/reference/attack/DSGN/pgd_attack.py:142-145) at the same paper-
     scale geometry as the headline. The headline ÷ this ratio quantifies
     what the TPU-first redesign buys at equal capability."""
+    import dataclasses
+
     from eval_driving_safety_tpu.config import DSGNConfig
     from eval_driving_safety_tpu.models.dsgn_compat import (DSGNCompat,
                                                             DSGNCompatArch)
     from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
 
     cfg = DSGNConfig.tiny() if tiny else DSGNConfig.full()
+    if conv3d is not None:
+        cfg = dataclasses.replace(cfg, compat_conv3d_method=conv3d)
     arch = DSGNCompatArch.tiny() if tiny else DSGNCompatArch()
     model = DSGNCompat(cfg, arch)
     k = jax.random.PRNGKey(0)
@@ -375,6 +380,7 @@ def main():
     ap.add_argument("--only", default=None,
                     choices=("headline", "dsgn_pallas_attack",
                              "dsgn_patch_train", "dsgn_compat_attack",
+                             "dsgn_compat_slice2d",
                              "dsgn_fwd",
                              "srcnn_attack", "srcnn_attack_fp32",
                              "srcnn_infer"))
@@ -447,6 +453,14 @@ def main():
             lambda: bench_dsgn_compat_attack(args.iters, args.tiny))
     if v:
         extra["dsgn_compat_attack_iters_per_sec"] = round(v, 4)
+
+    # compat attack with the 3x3x3 convs computed as depth-sliced 2D convs
+    # (ops/conv3d_slice2d.py) — recorded alongside to decide the default
+    v = run("dsgn_compat_slice2d",
+            lambda: bench_dsgn_compat_attack(args.iters, args.tiny,
+                                             conv3d="slice2d"))
+    if v:
+        extra["dsgn_compat_slice2d_attack_iters_per_sec"] = round(v, 4)
 
     v = run("dsgn_fwd", lambda: bench_dsgn(args.iters, args.tiny, False))
     if v and v[0]:

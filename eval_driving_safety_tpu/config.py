@@ -187,6 +187,11 @@ class DSGNConfig:
     # native layout (ops/pallas_depthconv.py; stride-2 encoder blocks
     # keep the transpose form either way).
     depthconv_method: str = "transpose"
+    # checkpoint-compat assembly only (models/dsgn_compat.py): how its
+    # upstream-topology dense 3x3x3 convs are computed. "slice2d" = three
+    # depth-sliced 2D convs (ops/conv3d_slice2d.py — same function, same
+    # parameters, MXU-tiled); "xla" = plain Conv3D lowering.
+    compat_conv3d_method: str = "xla"
 
     @staticmethod
     def tiny() -> "DSGNConfig":

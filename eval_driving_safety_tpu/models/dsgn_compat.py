@@ -93,9 +93,33 @@ class DSGNCompatArch:
             bev_channels=16, tower_convs=1, gn_groups=4)
 
 
+class _Conv3dSlice2d(nn.Module):
+    """Drop-in for `nn.Conv(F, (3,3,3), strides=(s,)*3, padding=[(1,1)]*3,
+    use_bias=False)` computed via ops.conv3d_slice2d (three depth-sliced 2D
+    convs — the MXU-tiled shape). The parameter is declared in nn.Conv's
+    exact name/layout, so the two implementations are checkpoint-
+    interchangeable."""
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from eval_driving_safety_tpu.ops.conv3d_slice2d import conv3d_slice2d
+        kernel = self.param("kernel", nn.linear.default_kernel_init,
+                            (3, 3, 3, x.shape[-1], self.features))
+        return conv3d_slice2d(x.astype(self.dtype), kernel, self.stride)
+
+
 class CompatConvBn(nn.Module):
     """conv (no bias) + frozen BN, submodules named `conv`/`bn` so the
-    imported tree maps 1:1 onto upstream `convbn`/`convbn_3d` Sequentials."""
+    imported tree maps 1:1 onto upstream `convbn`/`convbn_3d` Sequentials.
+
+    conv3d_method (3D convs only): "slice2d" computes the 3x3x3 conv as
+    three depth-sliced 2D convs (ops.conv3d_slice2d — XLA's small-channel
+    Conv3D lowering is the compat assembly's measured bottleneck); "xla"
+    keeps the plain Conv3D. Same parameters either way.
+    """
     features: int
     kernel: int = 3
     stride: int = 1
@@ -103,15 +127,22 @@ class CompatConvBn(nn.Module):
     dims: int = 2
     relu: bool = True
     dtype: Any = jnp.float32
+    conv3d_method: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         k, d = self.kernel, self.dims
-        pad = self.dilation * (k // 2)
-        x = nn.Conv(self.features, (k,) * d, strides=(self.stride,) * d,
-                    kernel_dilation=(self.dilation,) * d,
-                    padding=[(pad, pad)] * d, use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
+        if (d == 3 and k == 3 and self.dilation == 1
+                and self.conv3d_method == "slice2d"):
+            x = _Conv3dSlice2d(self.features, self.stride, dtype=self.dtype,
+                               name="conv")(x)
+        else:
+            pad = self.dilation * (k // 2)
+            x = nn.Conv(self.features, (k,) * d,
+                        strides=(self.stride,) * d,
+                        kernel_dilation=(self.dilation,) * d,
+                        padding=[(pad, pad)] * d, use_bias=False,
+                        dtype=self.dtype, name="conv")(x)
         x = FrozenBatchNorm(self.features, dtype=self.dtype, name="bn")(x)
         return nn.relu(x) if self.relu else x
 
@@ -205,20 +236,22 @@ class CompatHourglass3D(nn.Module):
     Requires (D, H, W) divisible by 4 (two exact 2x down/upsamplings)."""
     channels: int                                  # inner (2x input) width
     dtype: Any = jnp.float32
+    conv3d_method: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         c = self.channels
         cin = x.shape[-1]
+        m = self.conv3d_method
         out1 = CompatConvBn(c, 3, 2, dims=3, dtype=self.dtype,
-                            name="conv1")(x)
+                            conv3d_method=m, name="conv1")(x)
         pre = CompatConvBn(c, 3, 1, dims=3, relu=False, dtype=self.dtype,
-                           name="conv2")(out1)
+                           conv3d_method=m, name="conv2")(out1)
         pre = nn.relu(pre)
         out2 = CompatConvBn(c, 3, 2, dims=3, dtype=self.dtype,
-                            name="conv3")(pre)
+                            conv3d_method=m, name="conv3")(pre)
         out2 = CompatConvBn(c, 3, 1, dims=3, dtype=self.dtype,
-                            name="conv4")(out2)
+                            conv3d_method=m, name="conv4")(out2)
         post = nn.relu(CompatDeconvBn(c, dtype=self.dtype,
                                       name="conv5")(out2) + pre)
         return CompatDeconvBn(cin, dtype=self.dtype, name="conv6")(post)
@@ -268,17 +301,22 @@ class DSGNCompat(nn.Module):
             psv = self.volume_constraint(psv)
 
         cv = a.cv_channels
-        x = CompatConvBn(cv, dims=3, dtype=dtype, name="dres0_0")(psv)
-        x = CompatConvBn(cv, dims=3, dtype=dtype, name="dres0_1")(x)
-        y = CompatConvBn(cv, dims=3, dtype=dtype, name="dres1_0")(x)
+        m3 = cfg.compat_conv3d_method
+        x = CompatConvBn(cv, dims=3, dtype=dtype, conv3d_method=m3,
+                         name="dres0_0")(psv)
+        x = CompatConvBn(cv, dims=3, dtype=dtype, conv3d_method=m3,
+                         name="dres0_1")(x)
+        y = CompatConvBn(cv, dims=3, dtype=dtype, conv3d_method=m3,
+                         name="dres1_0")(x)
         y = CompatConvBn(cv, dims=3, relu=False, dtype=dtype,
-                         name="dres1_1")(y)
+                         conv3d_method=m3, name="dres1_1")(y)
         x = y + x                                       # dres1 residual
         hg_cls = nn.remat(CompatHourglass3D) if cfg.remat \
             else CompatHourglass3D
-        hg = hg_cls(a.hg_channels, dtype=dtype, name="hg1")(x) + x
+        hg = hg_cls(a.hg_channels, dtype=dtype, conv3d_method=m3,
+                    name="hg1")(x) + x
 
-        score = CompatConvBn(cv, dims=3, dtype=dtype,
+        score = CompatConvBn(cv, dims=3, dtype=dtype, conv3d_method=m3,
                              name="classif1_0")(hg)
         # the published checkpoint's 1-channel matching-score Conv3d, run
         # through the tap-projection formulation (models/dsgn.py Score3D —
@@ -294,12 +332,12 @@ class DSGNCompat(nn.Module):
 
         if cfg.rpn3d_enable:
             gv = CompatConvBn(a.gv_channels, dims=3, dtype=dtype,
-                              name="rpn3d_conv")(hg)
+                              conv3d_method=m3, name="rpn3d_conv")(hg)
             voxels = psv_to_3dgv(gv, planes.astype(jnp.float32),
                                  calib_fu, calib_cu, calib_cv, cfg,
                                  stride)                 # (B,Z,Y,X,C)
             voxels = CompatConvBn(a.gv_channels, dims=3, dtype=dtype,
-                                  name="rpn3d_conv2")(
+                                  conv3d_method=m3, name="rpn3d_conv2")(
                                       voxels.astype(dtype))
             b, z, yv, xv, c = voxels.shape
             bev = voxels.transpose(0, 1, 3, 2, 4).reshape(b, z, xv, yv * c)

@@ -1,0 +1,62 @@
+"""Dense 3x3x3 convolution as three depth-sliced 2D convolutions.
+
+The checkpoint-compat DSGN assembly (models/dsgn_compat.py) must keep the
+upstream full-3D-conv topology so the published `.tar` weights map 1:1
+(/root/reference/attack/DSGN/pgd_attack.py:142-145). But XLA's TPU lowering
+of small-channel Conv3D is the measured bottleneck of that assembly (the
+factorized fast model runs the same volumes ~2.6x faster per conv,
+PARITY.md): the MXU tiles 2D convolutions well and 3D ones poorly.
+
+This op computes the IDENTICAL function with the IDENTICAL parameter
+tensor — `nn.Conv(F, (3, 3, 3))`'s kernel (3, 3, 3, C, F) — by decomposing
+over the depth taps:
+
+    y[:, d] = sum_t conv2d(x[:, s*d + t - 1], kernel[t])      t in {0,1,2}
+
+i.e. three dense 3x3 2D convolutions (depth folded into batch — the same
+well-tiled shape as the fast model's (2+1)D spatial stage), each on a
+depth-shifted view of the zero-padded volume, summed. Stride s in {1, 2}
+applies to all three dims like the upstream convbn_3d; the depth shifts
+become static strided slices of the padded volume, so both directions of
+the op are slice/pad + conv2d — no gather, no scatter, no layout copies.
+
+Weight compatibility is by construction: the kernel is consumed in
+`nn.Conv`'s own layout, so `conv3d_method="slice2d"` and `"xla"` are
+checkpoint-interchangeable (asserted in tests/test_dsgn_compat.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def conv3d_slice2d(x, kernel, stride: int = 1):
+    """3x3x3 'SAME'-padded (pad=1) conv via three 2D convs over depth taps.
+
+    x: (B, D, H, W, C); kernel: (3, 3, 3, C, F) in `nn.Conv` layout.
+    stride: 1 or 2, applied to (D, H, W) alike. D must be even for
+    stride 2 (the upstream volumes are). Returns (B, D', H', W', F) with
+    the exact numerics of `nn.Conv(F, (3,3,3), strides=(s,s,s),
+    padding=[(1,1)]*3, use_bias=False)` in `x.dtype` compute.
+    """
+    b, d, h, w, c = x.shape
+    f = kernel.shape[-1]
+    kernel = kernel.astype(x.dtype)
+    d_out = (d + 2 * 1 - 3) // stride + 1
+    # zero-pad depth once; each tap is then a static (strided) slice
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+
+    dn = jax.lax.conv_dimension_numbers(
+        (b * d_out, h, w, c), (3, 3, c, f), ("NHWC", "HWIO", "NHWC"))
+    y = None
+    for t in range(3):
+        end = t + 1 + stride * (d_out - 1)
+        xs = xp[:, t:end:stride] if stride > 1 else xp[:, t:end]
+        xs = xs.reshape(b * d_out, h, w, c)
+        ct = jax.lax.conv_general_dilated(
+            xs, kernel[t], window_strides=(stride, stride),
+            padding=((1, 1), (1, 1)), dimension_numbers=dn,
+            preferred_element_type=x.dtype)
+        y = ct if y is None else y + ct
+    h_out, w_out = y.shape[1], y.shape[2]
+    return y.reshape(b, d_out, h_out, w_out, f)

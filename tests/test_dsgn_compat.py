@@ -424,3 +424,45 @@ def test_load_dsgn_checkpoint_roundtrip(tmp_path):
     gl, gr = jax.grad(loss_fn, argnums=(0, 1))(il, ir)
     assert float(jnp.abs(gl).max()) > 0.0
     assert float(jnp.abs(gr).max()) > 0.0
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_conv3d_slice2d_matches_nn_conv(stride):
+    """ops.conv3d_slice2d == nn.Conv(F,(3,3,3)) exactly (same kernel
+    tensor), for both strides the compat assembly uses."""
+    from flax import linen as nn
+
+    from eval_driving_safety_tpu.ops.conv3d_slice2d import conv3d_slice2d
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 6, 10, 5).astype(np.float32))
+    ref = nn.Conv(7, (3, 3, 3), strides=(stride,) * 3,
+                  padding=[(1, 1)] * 3, use_bias=False)
+    params = ref.init(jax.random.PRNGKey(0), x)
+    want = ref.apply(params, x)
+    got = conv3d_slice2d(x, params["params"]["kernel"], stride)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_compat_convbn_conv3d_methods_share_checkpoints():
+    """CompatConvBn(conv3d_method="slice2d") consumes the "xla" variant's
+    exact parameter tree and produces the same output and input grad."""
+    from eval_driving_safety_tpu.models.dsgn_compat import CompatConvBn
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 8, 6, 10, 4).astype(np.float32))
+    mx = CompatConvBn(6, dims=3, stride=2, conv3d_method="xla")
+    ms = CompatConvBn(6, dims=3, stride=2, conv3d_method="slice2d")
+    params = mx.init(jax.random.PRNGKey(0), x)
+    bn = params["params"]["bn"]
+    for k in bn:
+        bn[k] = jnp.asarray(rng.rand(*bn[k].shape).astype(np.float32) + 0.5)
+    np.testing.assert_allclose(np.asarray(mx.apply(params, x)),
+                               np.asarray(ms.apply(params, x)),
+                               atol=1e-5, rtol=1e-5)
+    gx = jax.grad(lambda a: (mx.apply(params, a) ** 2).sum())(x)
+    gs = jax.grad(lambda a: (ms.apply(params, a) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gs),
+                               atol=1e-4, rtol=1e-4)
