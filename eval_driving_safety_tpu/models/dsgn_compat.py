@@ -153,18 +153,44 @@ class CompatDeconvBn(nn.Module):
     zero-dilated input with (1, 2) padding; the torch kernel is spatially
     flipped at import (`utils.torch_import.deconv3d_kernel`) because torch's
     ConvTranspose is the conv GRADIENT while flax's is a fractionally-strided
-    correlation. Verified numerically exact in tests/test_dsgn_compat.py."""
+    correlation. Verified numerically exact in tests/test_dsgn_compat.py.
+
+    conv3d_method="slice2d" computes it via ops.conv3d_slice2d.
+    conv_transpose3d_depthpoly (depth-polyphase: three 2D transposed convs,
+    no depth zero-dilation) — same parameter tensor, same function."""
     features: int
     relu: bool = False
+    dtype: Any = jnp.float32
+    conv3d_method: str = "xla"
+
+    @nn.compact
+    def __call__(self, x):
+        if self.conv3d_method == "slice2d":
+            x = _ConvTranspose3dDepthPoly(self.features, dtype=self.dtype,
+                                          name="deconv")(x)
+        else:
+            x = nn.ConvTranspose(self.features, (3, 3, 3),
+                                 strides=(2, 2, 2),
+                                 padding=[(1, 2)] * 3, use_bias=False,
+                                 dtype=self.dtype, name="deconv")(x)
+        x = FrozenBatchNorm(self.features, dtype=self.dtype, name="bn")(x)
+        return nn.relu(x) if self.relu else x
+
+
+class _ConvTranspose3dDepthPoly(nn.Module):
+    """Drop-in for `nn.ConvTranspose(F, (3,3,3), strides=(2,)*3,
+    padding=[(1,2)]*3, use_bias=False)` via the depth-polyphase op; the
+    parameter matches nn.ConvTranspose's name/layout exactly."""
+    features: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.ConvTranspose(self.features, (3, 3, 3), strides=(2, 2, 2),
-                             padding=[(1, 2)] * 3, use_bias=False,
-                             dtype=self.dtype, name="deconv")(x)
-        x = FrozenBatchNorm(self.features, dtype=self.dtype, name="bn")(x)
-        return nn.relu(x) if self.relu else x
+        from eval_driving_safety_tpu.ops.conv3d_slice2d import \
+            conv_transpose3d_depthpoly
+        kernel = self.param("kernel", nn.linear.default_kernel_init,
+                            (3, 3, 3, x.shape[-1], self.features))
+        return conv_transpose3d_depthpoly(x.astype(self.dtype), kernel)
 
 
 class CompatBasicBlock(nn.Module):
@@ -252,9 +278,10 @@ class CompatHourglass3D(nn.Module):
                             conv3d_method=m, name="conv3")(pre)
         out2 = CompatConvBn(c, 3, 1, dims=3, dtype=self.dtype,
                             conv3d_method=m, name="conv4")(out2)
-        post = nn.relu(CompatDeconvBn(c, dtype=self.dtype,
+        post = nn.relu(CompatDeconvBn(c, dtype=self.dtype, conv3d_method=m,
                                       name="conv5")(out2) + pre)
-        return CompatDeconvBn(cin, dtype=self.dtype, name="conv6")(post)
+        return CompatDeconvBn(cin, dtype=self.dtype, conv3d_method=m,
+                              name="conv6")(post)
 
 
 class CompatTowerBlock(nn.Module):

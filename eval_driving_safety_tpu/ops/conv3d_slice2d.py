@@ -60,3 +60,47 @@ def conv3d_slice2d(x, kernel, stride: int = 1):
         y = ct if y is None else y + ct
     h_out, w_out = y.shape[1], y.shape[2]
     return y.reshape(b, d_out, h_out, w_out, f)
+
+
+def conv_transpose3d_depthpoly(x, kernel):
+    """`nn.ConvTranspose(F, (3,3,3), strides=(2,2,2), padding=[(1,2)]*3)`
+    (the compat hourglass's 2x-upsampling deconv, models/dsgn_compat.py
+    CompatDeconvBn) via depth-polyphase decomposition.
+
+    A stride-2 fractionally-strided correlation zero-dilates the input, so
+    along depth each output parity only ever meets fixed kernel taps:
+
+        y[:, 2m]     = ct2d(x[:, m],     kernel[1])
+        y[:, 2m + 1] = ct2d(x[:, m],     kernel[0])
+                     + ct2d(x[:, m + 1], kernel[2])     (zero past the end)
+
+    i.e. three 2D transposed convolutions with depth folded into batch —
+    no depth-wise zero-dilation ever materializes, and the interleave is a
+    reshape. Spatial dims keep XLA's 2D transposed-conv lowering (the
+    conv-backprop-input path it tiles well).
+
+    x: (B, D, H, W, C); kernel: (3, 3, 3, C, F) in `nn.ConvTranspose`'s
+    layout (consumed as-is — checkpoint-interchangeable with the flax op).
+    Returns (B, 2D, 2H, 2W, F).
+    """
+    b, d, h, w, c = x.shape
+    f = kernel.shape[-1]
+    kernel = kernel.astype(x.dtype)
+    xb = x.reshape(b * d, h, w, c)
+    # x shifted one step forward in depth, zero after the last slice
+    xs = jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
+    xs = xs.reshape(b * d, h, w, c)
+
+    dn = jax.lax.conv_dimension_numbers(
+        (b * d, h, w, c), (3, 3, c, f), ("NHWC", "HWIO", "NHWC"))
+
+    def ct2d(inp, k2):
+        return jax.lax.conv_general_dilated(
+            inp, k2, window_strides=(1, 1), padding=((1, 2), (1, 2)),
+            lhs_dilation=(2, 2), dimension_numbers=dn,
+            preferred_element_type=x.dtype)
+
+    even = ct2d(xb, kernel[1])                       # (B*D, 2H, 2W, F)
+    odd = ct2d(xb, kernel[0]) + ct2d(xs, kernel[2])
+    y = jnp.stack([even, odd], axis=1)               # (B*D, 2, 2H, 2W, F)
+    return y.reshape(b, 2 * d, 2 * h, 2 * w, f)

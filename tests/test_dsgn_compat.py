@@ -466,3 +466,38 @@ def test_compat_convbn_conv3d_methods_share_checkpoints():
     gs = jax.grad(lambda a: (ms.apply(params, a) ** 2).sum())(x)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gs),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_conv_transpose3d_depthpoly_matches_nn_convtranspose():
+    """ops.conv_transpose3d_depthpoly == nn.ConvTranspose(F,(3,3,3),s=2,
+    padding=[(1,2)]*3) exactly, and CompatDeconvBn's two methods share one
+    parameter tree (output + input grad)."""
+    from flax import linen as nn
+
+    from eval_driving_safety_tpu.models.dsgn_compat import CompatDeconvBn
+    from eval_driving_safety_tpu.ops.conv3d_slice2d import \
+        conv_transpose3d_depthpoly
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 4, 3, 5, 6).astype(np.float32))
+    ref = nn.ConvTranspose(7, (3, 3, 3), strides=(2, 2, 2),
+                           padding=[(1, 2)] * 3, use_bias=False)
+    params = ref.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(conv_transpose3d_depthpoly(
+            x, params["params"]["kernel"])),
+        np.asarray(ref.apply(params, x)), atol=1e-5, rtol=1e-5)
+
+    mx = CompatDeconvBn(7, conv3d_method="xla")
+    ms = CompatDeconvBn(7, conv3d_method="slice2d")
+    p2 = mx.init(jax.random.PRNGKey(1), x)
+    bn = p2["params"]["bn"]
+    for k in bn:
+        bn[k] = jnp.asarray(rng.rand(*bn[k].shape).astype(np.float32) + 0.5)
+    np.testing.assert_allclose(np.asarray(mx.apply(p2, x)),
+                               np.asarray(ms.apply(p2, x)),
+                               atol=1e-5, rtol=1e-5)
+    gx = jax.grad(lambda a: (mx.apply(p2, a) ** 2).sum())(x)
+    gs = jax.grad(lambda a: (ms.apply(p2, a) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gs),
+                               atol=1e-4, rtol=1e-4)
