@@ -84,3 +84,28 @@ def test_sharded_patch_grad_is_batch_sum():
     np.testing.assert_allclose(float(new_patch[2, 2, 0]), expected, atol=1e-5)
     # corners are outside the circular mask -> no gradient
     np.testing.assert_allclose(float(new_patch[0, 0, 0]), 0.2, atol=1e-7)
+
+
+def test_dryrun_multichip_falls_back_when_backend_unavailable(monkeypatch):
+    """A busy/unreachable tunneled accelerator must not stall the dryrun:
+    backend-init RuntimeError routes to the virtual-CPU subprocess."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    calls = {}
+
+    def fake_run(cmd, env=None, cwd=None):
+        calls["env"] = env
+
+        class R:
+            returncode = 0
+        return R()
+
+    def raise_unavailable():
+        raise RuntimeError("Unable to initialize backend 'axon': UNAVAILABLE")
+
+    monkeypatch.setattr(g.subprocess, "run", fake_run)
+    monkeypatch.setattr(g.jax, "devices", raise_unavailable)
+    g.dryrun_multichip(8)
+    assert calls["env"]["JAX_PLATFORMS"] == "cpu"
