@@ -347,10 +347,13 @@ def bench_srcnn_attack(iters: int, tiny: bool, bf16: bool = False,
     return _time(pgd_iter, iters, (variables, gt), (il, ir))
 
 
-def bench_srcnn_infer(iters: int, tiny: bool) -> float:
-    cfg, model, il, ir, _ = _srcnn_setup(tiny)
+def bench_srcnn_infer(iters: int, tiny: bool, bf16: bool = False) -> float:
+    cfg, model, il, ir, _ = _srcnn_setup(tiny, bf16)
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), il, ir, mode="infer"))()
+    if bf16:
+        from eval_driving_safety_tpu.models.common import cast_matmul_params
+        variables = cast_matmul_params(variables)
 
     @jax.jit
     def fwd(v, l, r):
@@ -383,7 +386,7 @@ def main():
                              "dsgn_compat_slice2d",
                              "dsgn_fwd",
                              "srcnn_attack", "srcnn_attack_fp32",
-                             "srcnn_infer"))
+                             "srcnn_infer", "srcnn_infer_bf16"))
     args = ap.parse_args()
 
     extra = {}
@@ -487,6 +490,12 @@ def main():
     v = run("srcnn_infer", lambda: bench_srcnn_infer(args.iters, args.tiny))
     if v:
         extra["srcnn_inference_imgs_per_sec"] = round(v, 4)
+    # bf16-trunk inference variant (the predict CLI keeps fp32 as its
+    # default for checkpoint-parity runs; this records what --bf16 buys)
+    v = run("srcnn_infer_bf16",
+            lambda: bench_srcnn_infer(args.iters, args.tiny, bf16=True))
+    if v:
+        extra["srcnn_inference_bf16_imgs_per_sec"] = round(v, 4)
 
     unit = ("fwd+bwd iters/s, TINY smoke config (not comparable)"
             if args.tiny else
