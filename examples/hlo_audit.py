@@ -26,6 +26,22 @@ import sys
 
 _SHAPE_RE = re.compile(
     r"=\s+(?:\()?([a-z0-9]+)\[([0-9,]*)\][^ ]*\s+([a-z0-9_-]+)\(")
+_OPNAME_RE = re.compile(r'op_name="([^"]+)"')
+# leading autodiff/jit wrappers in op_name paths, e.g.
+# jit(step)/jvp(transpose(...))/DSGN/Hourglass3D_0/...
+_WRAPPER_RE = re.compile(r"^(jit\([^)]*\)|jvp|vjp|transpose|remat|checkpoint"
+                         r"|named_scope|while|body|cond)\(?.*?\)?$")
+
+
+def _module_of(op_name: str, depth: int = 2) -> str:
+    """First `depth` flax-module components of an op_name path (wrapper
+    frames like jit(...)/jvp(...)/transpose(...) stripped)."""
+    parts = [p for p in op_name.split("/") if p]
+    mods = [p for p in parts if not _WRAPPER_RE.match(p)]
+    # drop the trailing primitive (conv_general_dilated, dot_general, ...)
+    if len(mods) > 1:
+        mods = mods[:-1]
+    return "/".join(mods[:depth]) or "(top)"
 _ITEMSIZE = {
     "f64": 8, "s64": 8, "u64": 8,
     "f32": 4, "s32": 4, "u32": 4,
@@ -49,6 +65,7 @@ def census(hlo_text: str, top: int, entry_only: bool = True):
     """
     by_op = collections.Counter()
     by_op_n = collections.Counter()
+    by_module = collections.Counter()
     ops = []
     in_entry = not entry_only
     for line in hlo_text.splitlines():
@@ -73,9 +90,12 @@ def census(hlo_text: str, top: int, entry_only: bool = True):
         nbytes = n * _ITEMSIZE[dtype]
         by_op[opcode] += nbytes
         by_op_n[opcode] += 1
-        ops.append((nbytes, opcode, dtype, dims, line.strip()[:120]))
+        nm = _OPNAME_RE.search(line)
+        by_module[_module_of(nm.group(1)) if nm else "(no-metadata)"] \
+            += nbytes
+        ops.append((nbytes, opcode, dtype, dims, line.strip()[:160]))
     ops.sort(reverse=True)
-    return by_op, by_op_n, ops[:top]
+    return by_op, by_op_n, by_module, ops[:top]
 
 
 def main():
@@ -174,12 +194,15 @@ def main():
             f.write(text)
         print(f"HLO written to {args.dump} ({len(text)} chars)")
 
-    by_op, by_op_n, top_ops = census(text, args.top,
-                                     entry_only=not args.all_computations)
+    by_op, by_op_n, by_module, top_ops = census(
+        text, args.top, entry_only=not args.all_computations)
     total = sum(by_op.values())
     print(f"\n== output-bytes by opcode (total {total / 1e9:.2f} GB) ==")
     for op, b in by_op.most_common(20):
         print(f"  {op:<22} {b / 1e9:8.3f} GB  x{by_op_n[op]}")
+    print("\n== output-bytes by module (op_name metadata) ==")
+    for mod, b in by_module.most_common(20):
+        print(f"  {mod:<44} {b / 1e9:8.3f} GB")
     print(f"\n== top {args.top} ops by output bytes ==")
     for nbytes, opcode, dtype, dims, line in top_ops:
         print(f"  {nbytes / 1e6:9.1f} MB  {opcode:<14} {dtype}[{dims}]")
