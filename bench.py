@@ -285,15 +285,16 @@ def bench_dsgn_compat_attack(iters: int, tiny: bool,
     return _time(pgd_iter, iters, (params,), (im_l, im_r))
 
 
-def _srcnn_setup(tiny: bool, bf16: bool = False):
+def _srcnn_setup(tiny: bool, bf16: bool = False, stem: str = "conv7"):
     import dataclasses
 
     from eval_driving_safety_tpu.config import StereoRCNNConfig
     from eval_driving_safety_tpu.models.stereo_rcnn import StereoRCNN
 
     cfg = StereoRCNNConfig.tiny() if tiny else StereoRCNNConfig()
-    if bf16:
-        cfg = dataclasses.replace(cfg, dtype="bfloat16")
+    if bf16 or stem != "conv7":
+        cfg = dataclasses.replace(
+            cfg, dtype="bfloat16" if bf16 else cfg.dtype, stem_method=stem)
     model = StereoRCNN(cfg)
     h, w = cfg.input.height, cfg.input.width
     k = jax.random.PRNGKey(0)
@@ -319,10 +320,10 @@ def _srcnn_setup(tiny: bool, bf16: bool = False):
 
 
 def bench_srcnn_attack(iters: int, tiny: bool, bf16: bool = False,
-                       with_cost: bool = False):
+                       with_cost: bool = False, stem: str = "conv7"):
     from eval_driving_safety_tpu.models.stereo_rcnn import total_attack_loss
 
-    cfg, model, il, ir, gt = _srcnn_setup(tiny, bf16)
+    cfg, model, il, ir, gt = _srcnn_setup(tiny, bf16, stem=stem)
     rng = jax.random.PRNGKey(3)
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), il, ir, gt=gt, rng=rng, mode="attack"))()
@@ -386,6 +387,7 @@ def main():
                              "dsgn_compat_slice2d",
                              "dsgn_fwd",
                              "srcnn_attack", "srcnn_attack_fp32",
+                             "srcnn_attack_s2d",
                              "srcnn_infer", "srcnn_infer_bf16"))
     args = ap.parse_args()
 
@@ -487,6 +489,13 @@ def main():
             lambda: bench_srcnn_attack(args.iters, args.tiny, bf16=False))
     if v:
         extra["srcnn_attack_fp32_iters_per_sec"] = round(v, 4)
+    # space-to-depth stem variant (exact reformulation of the 7x7/s2 stem;
+    # tests/test_stereo_rcnn.py::test_s2d_stem_exactly_matches_conv7)
+    v = run("srcnn_attack_s2d",
+            lambda: bench_srcnn_attack(args.iters, args.tiny, bf16=True,
+                                       stem="s2d"))
+    if v:
+        extra["srcnn_attack_s2d_iters_per_sec"] = round(v, 4)
     v = run("srcnn_infer", lambda: bench_srcnn_infer(args.iters, args.tiny))
     if v:
         extra["srcnn_inference_imgs_per_sec"] = round(v, 4)

@@ -75,6 +75,9 @@ class StereoRCNNConfig:
                                              # ~1.5-2x attack throughput,
                                              # fp32 default for checkpoint
                                              # parity
+    stem_method: str = "conv7"               # "s2d": exact space-to-depth
+                                             # stem (models.resnet), same
+                                             # params; opt-in until measured
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
     anchor_scales: Tuple[float, ...] = (32.0, 64.0, 128.0, 256.0, 512.0)  # p2..p6
     feat_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)

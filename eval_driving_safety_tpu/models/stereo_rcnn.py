@@ -178,7 +178,8 @@ class StereoRCNN(nn.Module):
                  else jnp.float32)
         self.compute_dtype = dtype
         self.backbone = ResNet(block_counts=self.cfg.backbone_blocks,
-                               width=self.cfg.backbone_width, dtype=dtype)
+                               width=self.cfg.backbone_width, dtype=dtype,
+                               stem_method=self.cfg.stem_method)
         # anchors as a flax variable: the ~190k x 4 table is a *runtime
         # argument*, not a constant baked into the compiled program (the
         # inlined MLIR blew past the remote compiler's request limit)

@@ -229,3 +229,29 @@ def test_bf16_attack_effectiveness_matches_fp32():
     # the bf16 direction is at least half as effective (measured ~1.9x on
     # this seed; the bound is deliberately loose against init noise)
     assert ascent16 >= 0.5 * ascent32, (ascent16, ascent32)
+
+
+def test_s2d_stem_exactly_matches_conv7():
+    """The space-to-depth stem (models.resnet.stem_space_to_depth) computes
+    the SAME function as the 7x7/stride-2 conv stem, with the SAME params —
+    checkpoints are interchangeable between the two formulations."""
+    from eval_driving_safety_tpu.models.resnet import ResNet
+
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (1, 48, 64, 3), jnp.float32)
+    ref = ResNet(block_counts=(1,), width=8, stem_method="conv7")
+    s2d = ResNet(block_counts=(1,), width=8, stem_method="s2d")
+    params = ref.init(rng, x)
+    # identical param trees (same names/shapes) -> direct reuse
+    jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: a.shape == b.shape, params, s2d.init(rng, x)))
+    out_ref = ref.apply(params, x)
+    out_s2d = s2d.apply(params, x)
+    for a, b in zip(out_ref, out_s2d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    # gradients through the reformulated stem match too (attack path)
+    g_ref = jax.grad(lambda im: ref.apply(params, im)[0].sum())(x)
+    g_s2d = jax.grad(lambda im: s2d.apply(params, im)[0].sum())(x)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_s2d),
+                               rtol=1e-4, atol=1e-4)
