@@ -67,6 +67,37 @@ def census(hlo_text: str, top: int, entry_only: bool = True):
     by_op_n = collections.Counter()
     by_module = collections.Counter()
     ops = []
+
+    # pass 1: a representative op_name per non-entry computation (fusion
+    # bodies) — the call-site `fusion(...)` line carries no metadata of its
+    # own, so ENTRY fusions are attributed to the op_name that covers the
+    # most bytes INSIDE their fused computation
+    comp_name = None
+    comp_bytes = {}                       # computation -> {op_name: bytes}
+    comp_re = re.compile(r"^(%[\w.\-]+)\s*\(")
+    for line in hlo_text.splitlines():
+        if not line.startswith(" "):
+            cm = comp_re.match(line)
+            comp_name = cm.group(1) if cm else None
+            continue
+        if comp_name is None:
+            continue
+        nm = _OPNAME_RE.search(line)
+        if not nm:
+            continue
+        m = _SHAPE_RE.search(line)
+        nb = 1
+        if m and m.group(1) in _ITEMSIZE:
+            for d in m.group(2).split(","):
+                if d:
+                    nb *= int(d)
+            nb *= _ITEMSIZE[m.group(1)]
+        comp_bytes.setdefault(comp_name, collections.Counter())[
+            nm.group(1)] += nb
+    comp_rep = {c: max(names, key=names.get)
+                for c, names in comp_bytes.items()}
+    calls_re = re.compile(r"calls=(%[\w.\-]+)")
+
     in_entry = not entry_only
     for line in hlo_text.splitlines():
         if entry_only:
@@ -91,7 +122,12 @@ def census(hlo_text: str, top: int, entry_only: bool = True):
         by_op[opcode] += nbytes
         by_op_n[opcode] += 1
         nm = _OPNAME_RE.search(line)
-        by_module[_module_of(nm.group(1)) if nm else "(no-metadata)"] \
+        op_name = nm.group(1) if nm else None
+        if op_name is None:
+            cm = calls_re.search(line)
+            if cm:
+                op_name = comp_rep.get(cm.group(1))
+        by_module[_module_of(op_name) if op_name else "(no-metadata)"] \
             += nbytes
         ops.append((nbytes, opcode, dtype, dims, line.strip()[:160]))
     ops.sort(reverse=True)
