@@ -132,18 +132,19 @@ def _time(fn, n_iters, const, state):
     return n_iters / (time.perf_counter() - t0)
 
 
-def bench_dsgn(iters: int, tiny: bool, attack: bool,
-               remat: bool = False, depthconv: str | None = None) -> float:
-    import dataclasses
+def dsgn_step_setup(cfg, model):
+    """Shared construction of the DSGN attack-step program: synthetic
+    stereo pair + calibration, jit-init'd params, the targeted box/depth
+    gt, and the jitted PGD iteration. Used by bench_dsgn,
+    bench_dsgn_compat_attack AND examples/hlo_audit.py so the benchmark,
+    the compat benchmark, and the HLO audit all measure the SAME program
+    (hand-synced copies drifted once — the patch-bench gt layout).
 
-    from eval_driving_safety_tpu.config import DSGNConfig
-    from eval_driving_safety_tpu.models.dsgn import DSGN
+    params ride as jit ARGUMENTS: closing over concrete weights bakes
+    them into the program as constants and overflows the remote
+    compiler's request size limit (HTTP 413)."""
     from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
 
-    cfg = DSGNConfig.tiny() if tiny else DSGNConfig.full(remat=remat)
-    if depthconv is not None:
-        cfg = dataclasses.replace(cfg, depthconv_method=depthconv)
-    model = DSGN(cfg)
     k = jax.random.PRNGKey(0)
     h, w = cfg.height, cfg.width
     im_l = jax.random.uniform(jax.random.fold_in(k, 1), (1, h, w, 3))
@@ -157,23 +158,36 @@ def bench_dsgn(iters: int, tiny: bool, attack: bool,
     num_boxes = jnp.ones((1,), jnp.int32)
     depth_gt = jnp.full((1, h, w), 20.0)
 
-    # params ride as jit ARGUMENTS: closing over concrete weights bakes
-    # them into the program as constants and overflows the remote
-    # compiler's request size limit (HTTP 413)
+    def loss_fn(p, il, ir):
+        out = model.apply(p, il, ir, *calib)
+        total, _ = dsgn_total_loss(out, depth_gt, boxes, num_boxes, cfg)
+        return total
+
+    @jax.jit
+    def pgd_iter(p, il, ir):
+        loss, (gl, gr) = jax.value_and_grad(
+            loss_fn, argnums=(1, 2))(p, il, ir)
+        alpha = 1.0 / 255.0
+        return (jnp.clip(il + alpha * jnp.sign(gl), 0.0, 1.0),
+                jnp.clip(ir + alpha * jnp.sign(gr), 0.0, 1.0))
+
+    return params, im_l, im_r, calib, pgd_iter
+
+
+def bench_dsgn(iters: int, tiny: bool, attack: bool,
+               remat: bool = False, depthconv: str | None = None) -> float:
+    import dataclasses
+
+    from eval_driving_safety_tpu.config import DSGNConfig
+    from eval_driving_safety_tpu.models.dsgn import DSGN
+
+    cfg = DSGNConfig.tiny() if tiny else DSGNConfig.full(remat=remat)
+    if depthconv is not None:
+        cfg = dataclasses.replace(cfg, depthconv_method=depthconv)
+    model = DSGN(cfg)
+    params, im_l, im_r, calib, pgd_iter = dsgn_step_setup(cfg, model)
+
     if attack:
-        def loss_fn(p, il, ir):
-            out = model.apply(p, il, ir, *calib)
-            total, _ = dsgn_total_loss(out, depth_gt, boxes, num_boxes, cfg)
-            return total
-
-        @jax.jit
-        def pgd_iter(p, il, ir):
-            loss, (gl, gr) = jax.value_and_grad(
-                loss_fn, argnums=(1, 2))(p, il, ir)
-            alpha = 1.0 / 255.0
-            return (jnp.clip(il + alpha * jnp.sign(gl), 0.0, 1.0),
-                    jnp.clip(ir + alpha * jnp.sign(gr), 0.0, 1.0))
-
         compiled, flops, nbytes = _compile_with_flops(pgd_iter, params,
                                                       im_l, im_r)
         return (_time(compiled, iters, (params,), (im_l, im_r)),
@@ -214,12 +228,10 @@ def bench_dsgn_patch(iters: int, tiny: bool) -> float:
              jnp.full((1,), w / 2.0), jnp.full((1,), h / 2.0))
     params = jax.jit(model.init)(jax.random.fold_in(k, 3), im_l, im_r,
                                  *calib)
-    # targeted ghost-car labels (patch_attack.py:341-354 parity constants)
-    gb = pcfg.ghost_box3d
-    boxes = jnp.zeros((1, 8, 8)).at[:, 0].set(
-        jnp.array([gb[3], gb[4], gb[5], gb[0], gb[1], gb[2],
-                   math.sin(gb[6]), math.cos(gb[6])]))
-    num_boxes = jnp.ones((1,), jnp.int32)
+    # targeted ghost-car labels (patch_attack.py:341-354 parity constants),
+    # in the canonical [x,y,z,h,w,l,ry,cls>=1] gt layout (rpn3d_loss.py)
+    from eval_driving_safety_tpu.cli.patch_attack import ghost_car_targets
+    boxes, num_boxes = ghost_car_targets(1, pcfg)
     depth_gt = jnp.full((1, h, w), 20.0)
     _, radius, patch = init_patch(h, pcfg.ratio)
     cl, cr = sample_patch_centers(jax.random.fold_in(k, 4), 1, h, w, radius,
@@ -252,36 +264,13 @@ def bench_dsgn_compat_attack(iters: int, tiny: bool,
     from eval_driving_safety_tpu.config import DSGNConfig
     from eval_driving_safety_tpu.models.dsgn_compat import (DSGNCompat,
                                                             DSGNCompatArch)
-    from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
 
     cfg = DSGNConfig.tiny() if tiny else DSGNConfig.full()
     if conv3d is not None:
         cfg = dataclasses.replace(cfg, compat_conv3d_method=conv3d)
     arch = DSGNCompatArch.tiny() if tiny else DSGNCompatArch()
     model = DSGNCompat(cfg, arch)
-    k = jax.random.PRNGKey(0)
-    h, w = cfg.height, cfg.width
-    im_l = jax.random.uniform(jax.random.fold_in(k, 1), (1, h, w, 3))
-    im_r = jax.random.uniform(jax.random.fold_in(k, 2), (1, h, w, 3))
-    calib = (jnp.full((1,), 720.0), jnp.full((1,), 0.54),
-             jnp.full((1,), w / 2.0), jnp.full((1,), h / 2.0))
-    params = jax.jit(model.init)(jax.random.fold_in(k, 3), im_l, im_r,
-                                 *calib)
-    boxes = jnp.zeros((1, 8, 8)).at[:, 0].set(
-        jnp.array([2.0, 1.6, 20.0, 1.5, 1.7, 4.0, 0.3, 1.0]))
-    num_boxes = jnp.ones((1,), jnp.int32)
-    depth_gt = jnp.full((1, h, w), 20.0)
-
-    @jax.jit
-    def pgd_iter(p, il, ir):
-        def loss_fn(l, r):
-            out = model.apply(p, l, r, *calib)
-            return dsgn_total_loss(out, depth_gt, boxes, num_boxes, cfg)[0]
-        _, (gl, gr) = jax.value_and_grad(loss_fn, argnums=(0, 1))(il, ir)
-        alpha = 1.0 / 255.0
-        return (jnp.clip(il + alpha * jnp.sign(gl), 0.0, 1.0),
-                jnp.clip(ir + alpha * jnp.sign(gr), 0.0, 1.0))
-
+    params, im_l, im_r, _, pgd_iter = dsgn_step_setup(cfg, model)
     return _time(pgd_iter, iters, (params,), (im_l, im_r))
 
 

@@ -45,8 +45,12 @@ def make_srcnn_cfg(args, default_bf16: bool = False):
     from eval_driving_safety_tpu.config import StereoRCNNConfig
     cfg = (StereoRCNNConfig.tiny() if getattr(args, "tiny", False)
            else StereoRCNNConfig())
-    bf16 = (default_bf16 and not getattr(args, "fp32", False)) \
-        or getattr(args, "bf16", False)
+    # an explicit --fp32 always wins (checkpoint-parity path); --bf16
+    # opts in where fp32 is the default (predict/train CLIs)
+    if getattr(args, "fp32", False):
+        bf16 = False
+    else:
+        bf16 = default_bf16 or getattr(args, "bf16", False)
     if bf16:
         cfg = dataclasses.replace(cfg, dtype="bfloat16")
     return cfg

@@ -193,6 +193,25 @@ class _ConvTranspose3dDepthPoly(nn.Module):
         return conv_transpose3d_depthpoly(x.astype(self.dtype), kernel)
 
 
+def bev_collapse(voxels):
+    """Collapse the voxel Y (height) axis into rpn3d_conv3's input
+    channels, matching the upstream torch convention.
+
+    Upstream merges (C, Y) through a contiguous `view(N, C*Y, Z, X)`,
+    which requires the merged axes adjacent as (N, C, Y, Z, X) — so the
+    flattened channel index is c * Yv + y (c OUTER, y inner). The imported
+    rpn3d_conv3 kernel's input-channel ordering is whatever that view
+    produced; collapsing y-outer here would silently permute every BEV
+    head input under imported weights. Pinned against a torch
+    view+Conv2d replica in
+    tests/test_dsgn_compat.py::test_bev_collapse_matches_torch_view.
+
+    voxels: (B, Z, Y, X, C) -> (B, Z, X, C*Y).
+    """
+    b, z, yv, xv, c = voxels.shape
+    return voxels.transpose(0, 1, 3, 4, 2).reshape(b, z, xv, c * yv)
+
+
 class CompatBasicBlock(nn.Module):
     """PSMNet BasicBlock: convbn+relu, convbn, residual add, NO final relu."""
     features: int
@@ -366,8 +385,7 @@ class DSGNCompat(nn.Module):
             voxels = CompatConvBn(a.gv_channels, dims=3, dtype=dtype,
                                   conv3d_method=m3, name="rpn3d_conv2")(
                                       voxels.astype(dtype))
-            b, z, yv, xv, c = voxels.shape
-            bev = voxels.transpose(0, 1, 3, 2, 4).reshape(b, z, xv, yv * c)
+            bev = bev_collapse(voxels)
             bev = CompatConvBn(a.bev_channels, 3, 1, dtype=dtype,
                                name="rpn3d_conv3")(bev)
             ct, bt = bev, bev

@@ -257,7 +257,7 @@ def depth_tap_conv(x5, w, inv, b, relu: bool = True):
     bsz, d, h, wdim, c = x5.shape
     f = w.shape[-1]
     n = h * wdim
-    nb = pick_nb(n, c, f)
+    nb = pick_nb(n, c, f, itemsize=x5.dtype.itemsize)
     on_tpu = jax.default_backend() == "tpu" or _FORCE_INTERPRET
     if nb is None or not on_tpu or d < 2:
         return reference_depth_tap_conv(x5, w, inv, b, relu)

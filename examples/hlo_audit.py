@@ -169,37 +169,13 @@ def main():
     if args.model == "dsgn":
         from eval_driving_safety_tpu.config import DSGNConfig
         from eval_driving_safety_tpu.models.dsgn import DSGN
-        from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
 
         cfg = DSGNConfig.tiny() if args.tiny else DSGNConfig.full()
         if args.depthconv:
             cfg = dataclasses.replace(cfg, depthconv_method=args.depthconv)
         model = DSGN(cfg)
-        k = jax.random.PRNGKey(0)
-        h, w = cfg.height, cfg.width
-        im_l = jax.random.uniform(jax.random.fold_in(k, 1), (1, h, w, 3))
-        im_r = jax.random.uniform(jax.random.fold_in(k, 2), (1, h, w, 3))
-        calib = (jnp.full((1,), 720.0), jnp.full((1,), 0.54),
-                 jnp.full((1,), w / 2.0), jnp.full((1,), h / 2.0))
-        params = jax.jit(model.init)(jax.random.fold_in(k, 3), im_l, im_r,
-                                     *calib)
-        boxes = jnp.zeros((1, 8, 8)).at[:, 0].set(
-            jnp.array([2.0, 1.6, 20.0, 1.5, 1.7, 4.0, 0.3, 1.0]))
-        num_boxes = jnp.ones((1,), jnp.int32)
-        depth_gt = jnp.full((1, h, w), 20.0)
-
-        def loss_fn(p, il, ir):
-            out = model.apply(p, il, ir, *calib)
-            return dsgn_total_loss(out, depth_gt, boxes, num_boxes, cfg)[0]
-
-        @jax.jit
-        def step(p, il, ir):
-            loss, (gl, gr) = jax.value_and_grad(
-                loss_fn, argnums=(1, 2))(p, il, ir)
-            a = 1.0 / 255.0
-            return (jnp.clip(il + a * jnp.sign(gl), 0.0, 1.0),
-                    jnp.clip(ir + a * jnp.sign(gr), 0.0, 1.0))
-
+        # the EXACT program bench.py times (shared construction)
+        params, im_l, im_r, _, step = bench.dsgn_step_setup(cfg, model)
         compiled = step.lower(params, im_l, im_r).compile()
     else:
         from eval_driving_safety_tpu.models.common import cast_matmul_params

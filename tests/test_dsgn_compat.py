@@ -501,3 +501,37 @@ def test_conv_transpose3d_depthpoly_matches_nn_convtranspose():
     gs = jax.grad(lambda a: (ms.apply(p2, a) ** 2).sum())(x)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gs),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_bev_collapse_matches_torch_view():
+    """Pins the Y-collapse seam feeding rpn3d_conv3: upstream merges (C, Y)
+    into the conv's input channels via a contiguous `view(N, C*Y, Z, X)` —
+    c-outer / y-inner. The compat collapse must produce the same flattened
+    ordering or imported rpn3d_conv3 weights run on permuted channels."""
+    from eval_driving_safety_tpu.models.dsgn_compat import (CompatConvBn,
+                                                            bev_collapse)
+
+    c, yv, z, xv = 4, 5, 6, 10
+    torch.manual_seed(3)
+    vt = torch.randn(1, c, yv, z, xv)
+    conv3 = convbn(c * yv, TINY.bev_channels, 3, 1, 1).eval()
+    _randomize_bn(conv3)
+    want = _np(torch.relu(conv3(vt.reshape(1, c * yv, z, xv))))
+    want = want.transpose(0, 2, 3, 1)                     # (1, Z, X, bev)
+
+    sd = {f"rpn3d_conv3.{k}": _np(v) for k, v in conv3.state_dict().items()}
+    tm = TRPN3DHead(TINY)
+    sd.update({f"rpn3d.{k}": _np(v) for k, v in tm.state_dict().items()})
+    for pre in ("rpn3d_conv", "rpn3d_conv2"):
+        sd[f"{pre}.0.weight"] = np.zeros((c, c, 3, 3, 3), np.float32)
+        for suf, val in (("weight", 1.0), ("bias", 0.0),
+                         ("running_mean", 0.0), ("running_var", 1.0)):
+            sd[f"{pre}.1.{suf}"] = np.full((c,), val, np.float32)
+    p = convert_dsgn_rpn3d(sd, TINY)
+
+    # torch (N, C, Y, Z, X) -> flax voxel layout (B, Z, Y, X, C)
+    voxels = jnp.asarray(_np(vt).transpose(0, 3, 2, 4, 1))
+    bev = bev_collapse(voxels)
+    got = CompatConvBn(TINY.bev_channels, 3, 1).apply(
+        {"params": p["rpn3d_conv3"]}, bev)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-4)

@@ -104,9 +104,8 @@ def test_overfit_detects_planted_car_and_pgd_degrades_it():
         if not any(tag in r.stderr for tag in (
                 "Unable to initialize backend",) + BUSY_TAGS):
             break                                 # a real failure: assert it
-        time.sleep(30 * (attempt + 1))           # is shared; wait it out
-    else:
-        pass
+        if attempt < 2:                           # no backoff after the
+            time.sleep(30 * (attempt + 1))        # final attempt
     if r.returncode != 0 and any(tag in r.stderr for tag in (
             "Unable to initialize backend",) + BUSY_TAGS):
         pytest.skip("accelerator BUSY after 3 attempts (distinct from "
