@@ -33,6 +33,32 @@ def make_dataset(args):
     return ds
 
 
+def add_io_args(p: argparse.ArgumentParser):
+    """Host-IO overlap knobs for sweep CLIs (prefetching loader + async
+    PNG writer, data/dataset.py)."""
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches of PNG decodes kept in flight ahead of "
+                        "the device (0 = synchronous loads)")
+    p.add_argument("--io_workers", type=int, default=4,
+                   help="loader thread-pool size (the reference used 12 "
+                        "DataLoader workers)")
+    p.add_argument("--png_level", type=int, default=0,
+                   help="PNG zlib level for attacked-image writes. 0 "
+                        "(store) is ~4x faster to encode with bit-"
+                        "identical pixels — adversarial frames barely "
+                        "compress anyway; use 6 for archival-size files")
+    p.add_argument("--sync_io", action="store_true",
+                   help="disable the async writer pool (debugging)")
+
+
+def make_writer(args):
+    """AsyncImageWriter from the shared IO flags, or None with --sync_io."""
+    if getattr(args, "sync_io", False):
+        return None
+    from eval_driving_safety_tpu.data.dataset import AsyncImageWriter
+    return AsyncImageWriter(compress_level=getattr(args, "png_level", 0))
+
+
 def make_srcnn_cfg(args, default_bf16: bool = False):
     """StereoRCNNConfig from the shared CLI flags (--tiny, --bf16, --fp32).
 

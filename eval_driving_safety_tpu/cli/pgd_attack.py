@@ -21,9 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from eval_driving_safety_tpu.cli.common import (add_dataset_args, log,
+from eval_driving_safety_tpu.cli.common import (add_dataset_args,
+                                                add_io_args, log,
                                                 load_params, make_dataset,
-                                                make_dsgn_model)
+                                                make_dsgn_model, make_writer)
 from eval_driving_safety_tpu.config import DSGNConfig, StereoRCNNConfig
 
 
@@ -64,6 +65,7 @@ def parse_args():
                    help="dsgn attack objective (attack.objectives; "
                         "'total' = reference behavior)")
     p.add_argument("--depth_shift_m", type=float, default=10.0)
+    add_io_args(p)
     return p.parse_args()
 
 
@@ -128,36 +130,45 @@ def run_dsgn(args):
                          collect=True)
         return res
 
-    for samples in ds.batches(args.batch):
-        if args.resume and _already_done(prefix, args.iter,
-                                         [s.frame_id for s in samples]):
-            continue
-        b = prepare_dsgn_batch(samples, cfg.input, depth_dir=args.depth_dir)
-        g = dsgn_boxes3d(samples)
-        if params is None:
-            params = load_params(model, lambda: model.init(
-                jax.random.PRNGKey(0), jnp.asarray(b["im_left"][:1]),
-                jnp.asarray(b["im_right"][:1]),
-                jnp.asarray(b["f_u"][:1]), jnp.asarray(b["baseline"][:1]),
-                jnp.asarray(b["c_u"][:1]), jnp.asarray(b["c_v"][:1])),
-                args.ckpt)
-        sh = _shard_arrays({
-            "il": b["im_left"], "ir": b["im_right"],
-            "calib": tuple(jnp.asarray(b[k]) for k in
-                           ("f_u", "baseline", "c_u", "c_v")),
-            "depth": b["depth_gt"], "boxes": g["boxes3d"],
-            "nb": g["num_boxes"]})
-        res = attack(params, sh["il"], sh["ir"], sh["calib"], sh["depth"],
-                     sh["boxes"], sh["nb"])
-        ident = lambda x: x
-        save_attacked_images(b, b["im_left_01"], b["im_right_01"],
-                             f"{prefix}_iters_0", ident)
-        for k in range(args.iter):
-            save_attacked_images(b, res.trajectory[0][k],
-                                 res.trajectory[1][k],
-                                 f"{prefix}_iters_{k + 1}", ident)
-        log(f"{b['frame_ids']}: losses "
-            f"{np.asarray(res.losses).round(3).tolist()}")
+    writer = make_writer(args)
+    try:
+        for samples in ds.batches(args.batch, prefetch=args.prefetch,
+                                  io_workers=args.io_workers):
+            if args.resume and _already_done(prefix, args.iter,
+                                             [s.frame_id for s in samples]):
+                continue
+            b = prepare_dsgn_batch(samples, cfg.input,
+                                   depth_dir=args.depth_dir)
+            g = dsgn_boxes3d(samples)
+            if params is None:
+                params = load_params(model, lambda: model.init(
+                    jax.random.PRNGKey(0), jnp.asarray(b["im_left"][:1]),
+                    jnp.asarray(b["im_right"][:1]),
+                    jnp.asarray(b["f_u"][:1]),
+                    jnp.asarray(b["baseline"][:1]),
+                    jnp.asarray(b["c_u"][:1]), jnp.asarray(b["c_v"][:1])),
+                    args.ckpt)
+            sh = _shard_arrays({
+                "il": b["im_left"], "ir": b["im_right"],
+                "calib": tuple(jnp.asarray(b[k]) for k in
+                               ("f_u", "baseline", "c_u", "c_v")),
+                "depth": b["depth_gt"], "boxes": g["boxes3d"],
+                "nb": g["num_boxes"]})
+            res = attack(params, sh["il"], sh["ir"], sh["calib"],
+                         sh["depth"], sh["boxes"], sh["nb"])
+            ident = lambda x: x
+            save_attacked_images(b, b["im_left_01"], b["im_right_01"],
+                                 f"{prefix}_iters_0", ident, writer=writer)
+            for k in range(args.iter):
+                save_attacked_images(b, res.trajectory[0][k],
+                                     res.trajectory[1][k],
+                                     f"{prefix}_iters_{k + 1}", ident,
+                                     writer=writer)
+            log(f"{b['frame_ids']}: losses "
+                f"{np.asarray(res.losses).round(3).tolist()}")
+    finally:
+        if writer is not None:
+            writer.close()
 
 
 def run_srcnn(args):
@@ -191,39 +202,47 @@ def run_srcnn(args):
                           clip_max=jnp.asarray(clip_max), collect=True)
 
     denorm = lambda x: srcnn_to_rgb01(x, cfg.input.pixel_means_bgr)
-    for samples in ds.batches(args.batch):
-        if args.resume and _already_done(prefix, args.iter,
-                                         [s.frame_id for s in samples]):
-            continue
-        b = prepare_srcnn_batch(samples, cfg.input)
-        gt = make_gt_batch(b["objects"], b["calibs"], cfg,
-                           image_scale=b["scales"])
-        if params is None:
-            params, aux = load_params(model, lambda: model.init(
-                jax.random.PRNGKey(0), jnp.asarray(b["im_left"][:1]),
-                jnp.asarray(b["im_right"][:1]),
-                gt=jax.tree_util.tree_map(lambda x: x[:1], gt), rng=rng,
-                mode="attack"), args.ckpt, return_aux=True)
-            if "uncert" in aux:
-                # the published checkpoint's 6-vector weighting the attack
-                # loss (reference pgd_attack.py:165-171)
-                uncert = jnp.asarray(aux["uncert"])
-                log(f"using checkpoint uncert={np.asarray(uncert).round(3)}")
-            if cfg.dtype == "bfloat16":
-                from eval_driving_safety_tpu.models.common import \
-                    cast_matmul_params
-                params = cast_matmul_params(params)
-        sh = _shard_arrays({"il": b["im_left"], "ir": b["im_right"],
-                            "gt": gt})
-        res = attack(params, sh["il"], sh["ir"], sh["gt"])
-        save_attacked_images(b, b["im_left"], b["im_right"],
-                             f"{prefix}_iters_0", denorm)
-        for k in range(args.iter):
-            save_attacked_images(b, res.trajectory[0][k],
-                                 res.trajectory[1][k],
-                                 f"{prefix}_iters_{k + 1}", denorm)
-        log(f"{b['frame_ids']}: losses "
-            f"{np.asarray(res.losses).round(3).tolist()}")
+    writer = make_writer(args)
+    try:
+        for samples in ds.batches(args.batch, prefetch=args.prefetch,
+                                  io_workers=args.io_workers):
+            if args.resume and _already_done(prefix, args.iter,
+                                             [s.frame_id for s in samples]):
+                continue
+            b = prepare_srcnn_batch(samples, cfg.input)
+            gt = make_gt_batch(b["objects"], b["calibs"], cfg,
+                               image_scale=b["scales"])
+            if params is None:
+                params, aux = load_params(model, lambda: model.init(
+                    jax.random.PRNGKey(0), jnp.asarray(b["im_left"][:1]),
+                    jnp.asarray(b["im_right"][:1]),
+                    gt=jax.tree_util.tree_map(lambda x: x[:1], gt), rng=rng,
+                    mode="attack"), args.ckpt, return_aux=True)
+                if "uncert" in aux:
+                    # the published checkpoint's 6-vector weighting the
+                    # attack loss (reference pgd_attack.py:165-171)
+                    uncert = jnp.asarray(aux["uncert"])
+                    log(f"using checkpoint uncert="
+                        f"{np.asarray(uncert).round(3)}")
+                if cfg.dtype == "bfloat16":
+                    from eval_driving_safety_tpu.models.common import \
+                        cast_matmul_params
+                    params = cast_matmul_params(params)
+            sh = _shard_arrays({"il": b["im_left"], "ir": b["im_right"],
+                                "gt": gt})
+            res = attack(params, sh["il"], sh["ir"], sh["gt"])
+            save_attacked_images(b, b["im_left"], b["im_right"],
+                                 f"{prefix}_iters_0", denorm, writer=writer)
+            for k in range(args.iter):
+                save_attacked_images(b, res.trajectory[0][k],
+                                     res.trajectory[1][k],
+                                     f"{prefix}_iters_{k + 1}", denorm,
+                                     writer=writer)
+            log(f"{b['frame_ids']}: losses "
+                f"{np.asarray(res.losses).round(3).tolist()}")
+    finally:
+        if writer is not None:
+            writer.close()
 
 
 def main():

@@ -210,24 +210,55 @@ def write_detections(path: str, detections: Sequence[dict]) -> None:
 # Images
 # ---------------------------------------------------------------------------
 
+def _cv2():
+    try:
+        import cv2
+        return cv2
+    except ImportError:                               # pragma: no cover
+        return None
+
+
 def load_image(path: str) -> np.ndarray:
-    """Load PNG/JPG as float32 RGB in [0,1], shape (H,W,3)."""
+    """Load PNG/JPG as float32 RGB in [0,1], shape (H,W,3).
+
+    cv2's libpng path when available (faster on the sweep's hot loop and
+    releases the GIL, so prefetch threads overlap device compute);
+    PIL fallback. Both decode the identical pixels."""
+    cv2 = _cv2()
+    if cv2 is not None:
+        bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+        if bgr is not None:
+            return bgr[..., ::-1].astype(np.float32) / 255.0
     from PIL import Image
     im = Image.open(path).convert("RGB")
     return np.asarray(im, dtype=np.float32) / 255.0
 
 
-def save_image(path: str, img01: np.ndarray, crop_hw: Optional[tuple] = None) -> None:
+def save_image(path: str, img01: np.ndarray, crop_hw: Optional[tuple] = None,
+               compress_level: int = 6) -> None:
     """Save float [0,1] RGB array as PNG, optionally cropping to the original
     (h, w) as the reference does before writing attacked images
-    (/root/reference/attack/DSGN/pgd_attack.py:181-194)."""
-    from PIL import Image
+    (/root/reference/attack/DSGN/pgd_attack.py:181-194).
+
+    `compress_level` (0-9) trades file size for encode speed; every level
+    is a valid lossless PNG with bit-identical pixels. Level 0 (store) is
+    ~4x faster than the default 6 on adversarial (high-entropy) frames —
+    the encode cost the reference flags as its dominant non-compute cost
+    (/root/reference/attack/DSGN/pgd_attack.py:357-374). Uses cv2's encoder
+    when available (GIL-releasing, so AsyncImageWriter threads overlap the
+    device); PIL fallback."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arr = np.clip(np.asarray(img01) * 255.0, 0, 255).astype(np.uint8)
     if crop_hw is not None:
         h, w = crop_hw
         arr = arr[:h, :w]
-    Image.fromarray(arr).save(path)
+    cv2 = _cv2()
+    if cv2 is not None:
+        if cv2.imwrite(path, np.ascontiguousarray(arr[..., ::-1]),
+                       [cv2.IMWRITE_PNG_COMPRESSION, int(compress_level)]):
+            return
+    from PIL import Image                             # pragma: no cover
+    Image.fromarray(arr).save(path, compress_level=int(compress_level))
 
 
 def pad_to(img: np.ndarray, height: int, width: int) -> np.ndarray:
