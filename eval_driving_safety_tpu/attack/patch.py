@@ -52,38 +52,51 @@ def sample_patch_centers(rng, batch: int, height: int, width: int, radius: int,
                          disparity_shift: float = -64.0):
     """Per-image (row, col) centers for left view + shifted right view.
 
-    Bands per /root/reference/attack/DSGN/patch_attack.py:237-243. Centers
-    are clamped so the patch window stays in-bounds (the reference instead
-    lets partial circles clip at image edges; in-bounds placement keeps the
-    composite a static-size slice).
+    Exact reference distribution
+    (/root/reference/attack/DSGN/patch_attack.py:237-243):
+    row ~ randint[int(H*0.4), H-radius-1] and col ~ randint[int(W*lo),
+    int(W*hi)], both INCLUSIVE of the upper bound (Python random.randint
+    semantics), with NO in-bounds clamping — for large ratios the circle
+    may clip the top edge, and the right-view center (col + shift) may
+    push the patch past the left edge; `composite_patch` clips the mask at
+    the border exactly as the reference's full-image distance masks do.
     """
     kr, kc = jax.random.split(rng)
     row_lo = int(height * row_band[0])
-    row_hi = height - radius - 1
-    rows = jax.random.randint(kr, (batch,), row_lo, max(row_hi, row_lo + 1))
+    row_hi = height - radius - 1                      # inclusive
+    rows = jax.random.randint(kr, (batch,), row_lo,
+                              max(row_hi, row_lo) + 1)
     col_lo = int(width * col_band[0])
-    col_hi = int(width * col_band[1])
-    cols = jax.random.randint(kc, (batch,), col_lo, max(col_hi, col_lo + 1))
-    rows = jnp.clip(rows, radius, height - radius - 1)
-    cols_l = jnp.clip(cols, radius, width - radius - 1)
-    cols_r = jnp.clip(cols + int(disparity_shift), radius,
-                      width - radius - 1)
-    return jnp.stack([rows, cols_l], -1), jnp.stack([rows, cols_r], -1)
+    col_hi = int(width * col_band[1])                 # inclusive
+    cols = jax.random.randint(kc, (batch,), col_lo,
+                              max(col_hi, col_lo) + 1)
+    cols_r = cols + int(disparity_shift)
+    return jnp.stack([rows, cols], -1), jnp.stack([rows, cols_r], -1)
 
 
 def composite_patch(img, patch, center):
     """Composite one (d,d,3) patch into one (H,W,3) image at (row,col).
 
-    Differentiable w.r.t. both image and patch.
+    Differentiable w.r.t. both image and patch. Placements whose window
+    crosses an image border are CLIPPED at the border (the part of the
+    circle outside the image is dropped), matching the reference's
+    full-image distance-transform masks
+    (/root/reference/attack/DSGN/patch_attack.py:245-254). Implemented as
+    pad-by-radius -> static-size dynamic_update_slice -> crop, so the
+    composite stays jit-friendly with static shapes.
     """
     d = patch.shape[0]
     r = d // 2
+    c = img.shape[-1]
     mask = circular_mask(d).astype(img.dtype)
-    y0 = center[0] - r
-    x0 = center[1] - r
-    window = jax.lax.dynamic_slice(img, (y0, x0, 0), (d, d, img.shape[-1]))
+    # in padded coordinates the window start is exactly the center
+    padded = jnp.pad(img, ((r, r), (r, r), (0, 0)))
+    y0 = jnp.clip(center[0], -r, img.shape[0] - 1 + r)
+    x0 = jnp.clip(center[1], -r, img.shape[1] - 1 + r)
+    window = jax.lax.dynamic_slice(padded, (y0, x0, 0), (d, d, c))
     merged = (1.0 - mask) * window + mask * patch.astype(img.dtype)
-    return jax.lax.dynamic_update_slice(img, merged, (y0, x0, 0))
+    padded = jax.lax.dynamic_update_slice(padded, merged, (y0, x0, 0))
+    return padded[r:r + img.shape[0], r:r + img.shape[1]]
 
 
 def composite_patch_batch(imgs, patch, centers):

@@ -58,6 +58,84 @@ def test_composite_patch_inside_and_outside():
     assert out[16 - 5, 24, 0] == 1.0        # on the circle
 
 
+def _reference_mask_composite(img, patch, center):
+    """The reference's own composite: full-image distance-transform mask,
+    `img = (1-mask)*img + mask*padded_patch`
+    (/root/reference/attack/DSGN/patch_attack.py:245-254,367-376). Patch
+    pixels are placed at absolute coords center+(dy,dx); anything outside
+    the image is dropped (the circle clips at borders)."""
+    h, w, _ = img.shape
+    d = patch.shape[0]
+    r = d // 2
+    yy, xx = np.ogrid[:h, :w]
+    mask = (np.sqrt((yy - center[0]) ** 2 +
+                    (xx - center[1]) ** 2) <= r).astype(np.float32)
+    placed = np.zeros_like(img)
+    for py in range(d):
+        for px in range(d):
+            iy, ix = center[0] - r + py, center[1] - r + px
+            if 0 <= iy < h and 0 <= ix < w:
+                placed[iy, ix] = patch[py, px]
+    return (1.0 - mask[..., None]) * img + mask[..., None] * placed
+
+
+def test_composite_matches_reference_mask_formula():
+    """Interior AND edge-clipped placements match the reference's
+    distance-mask composite exactly (VERDICT r3 missing #3)."""
+    rng = np.random.RandomState(0)
+    img = rng.rand(32, 48, 3).astype(np.float32)
+    patch = rng.rand(11, 11, 3).astype(np.float32)
+    centers = [
+        (16, 24),   # interior
+        (3, 24),    # clips top edge (row < radius)
+        (29, 24),   # clips bottom edge
+        (16, 2),    # clips left edge (the -64px right-view shift case)
+        (16, 46),   # clips right edge
+        (1, 1),     # corner, mostly outside
+    ]
+    for c in centers:
+        want = _reference_mask_composite(img, patch, c)
+        got = np.asarray(composite_patch(
+            jnp.asarray(img), jnp.asarray(patch), jnp.asarray(c)))
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=str(c))
+
+
+def test_composite_edge_clip_gradient_flows_only_inside():
+    """The patch gradient through a clipped composite covers only the
+    in-image part of the circle — off-image patch pixels get zero grad."""
+    img = jnp.zeros((16, 16, 3))
+    patch = jnp.zeros((7, 7, 3))
+    center = jnp.array([1, 8])        # top-clipped: rows -2..4 of the circle
+
+    def f(p):
+        return (composite_patch(img, p, center) ** 2 * 0 +
+                composite_patch(img, p, center)).sum()
+
+    g = np.asarray(jax.grad(f)(patch))
+    mask = np.asarray(circular_mask(7))[..., 0]
+    # patch rows 0,1 fall above the image -> zero gradient there
+    assert g[0].max() == 0.0 and g[1].max() == 0.0
+    # in-image circle rows receive gradient exactly on the mask
+    np.testing.assert_array_equal((g[3] != 0).any(-1),
+                                  mask[3].astype(bool))
+
+
+def test_sample_centers_inclusive_reference_bands():
+    """randint bounds are inclusive like the reference's random.randint
+    (/root/reference/attack/DSGN/patch_attack.py:239-240), and the
+    right-view shift is NOT clamped back in-bounds."""
+    rng = jax.random.PRNGKey(0)
+    radius = 150                     # large ratio: row_hi < some col shifts
+    cl, cr = sample_patch_centers(rng, 4096, 384, 1248, radius=radius,
+                                  disparity_shift=-64.0)
+    cl, cr = np.asarray(cl), np.asarray(cr)
+    assert cl[:, 0].min() == int(384 * 0.4)
+    assert cl[:, 0].max() == 384 - radius - 1        # inclusive upper bound
+    assert cl[:, 1].min() == int(1248 * 0.2)
+    assert cl[:, 1].max() == int(1248 * 0.8)         # inclusive upper bound
+    np.testing.assert_array_equal(cr[:, 1], cl[:, 1] - 64)
+
+
 def test_sample_centers_within_bands():
     rng = jax.random.PRNGKey(0)
     cl, cr = sample_patch_centers(rng, 64, 384, 1248, radius=38,
