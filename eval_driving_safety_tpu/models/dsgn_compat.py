@@ -96,19 +96,22 @@ class DSGNCompatArch:
 class _Conv3dSlice2d(nn.Module):
     """Drop-in for `nn.Conv(F, (3,3,3), strides=(s,)*3, padding=[(1,1)]*3,
     use_bias=False)` computed via ops.conv3d_slice2d (three depth-sliced 2D
-    convs — the MXU-tiled shape). The parameter is declared in nn.Conv's
-    exact name/layout, so the two implementations are checkpoint-
-    interchangeable."""
+    convs — the MXU-tiled shape) or ops.conv3d_tapconcat (one 2D conv over
+    the depth-tap concat). The parameter is declared in nn.Conv's exact
+    name/layout, so all implementations are checkpoint-interchangeable."""
     features: int
     stride: int = 1
     dtype: Any = jnp.float32
+    method: str = "slice2d"
 
     @nn.compact
     def __call__(self, x):
-        from eval_driving_safety_tpu.ops.conv3d_slice2d import conv3d_slice2d
+        from eval_driving_safety_tpu.ops.conv3d_slice2d import (
+            conv3d_slice2d, conv3d_tapconcat)
         kernel = self.param("kernel", nn.linear.default_kernel_init,
                             (3, 3, 3, x.shape[-1], self.features))
-        return conv3d_slice2d(x.astype(self.dtype), kernel, self.stride)
+        op = conv3d_tapconcat if self.method == "concat" else conv3d_slice2d
+        return op(x.astype(self.dtype), kernel, self.stride)
 
 
 class CompatConvBn(nn.Module):
@@ -133,9 +136,9 @@ class CompatConvBn(nn.Module):
     def __call__(self, x):
         k, d = self.kernel, self.dims
         if (d == 3 and k == 3 and self.dilation == 1
-                and self.conv3d_method == "slice2d"):
+                and self.conv3d_method in ("slice2d", "concat")):
             x = _Conv3dSlice2d(self.features, self.stride, dtype=self.dtype,
-                               name="conv")(x)
+                               method=self.conv3d_method, name="conv")(x)
         else:
             pad = self.dilation * (k // 2)
             x = nn.Conv(self.features, (k,) * d,
@@ -165,7 +168,7 @@ class CompatDeconvBn(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.conv3d_method == "slice2d":
+        if self.conv3d_method in ("slice2d", "concat"):
             x = _ConvTranspose3dDepthPoly(self.features, dtype=self.dtype,
                                           name="deconv")(x)
         else:

@@ -62,6 +62,38 @@ def conv3d_slice2d(x, kernel, stride: int = 1):
     return y.reshape(b, d_out, h_out, w_out, f)
 
 
+def conv3d_tapconcat(x, kernel, stride: int = 1):
+    """Same function/parameters as `conv3d_slice2d`, computed as ONE 2D
+    conv over the depth-tap concatenation:
+
+        y[:, d] = conv2d(concat_c(x[:, s*d-1], x[:, s*d], x[:, s*d+1]),
+                         kernel reshaped to (3, 3, 3C, F))
+
+    Trades one extra materialization (the (B, D', H, W, 3C) tap concat)
+    for a conv whose input-channel (MXU K) dimension is 3C instead of C —
+    at the compat assembly's C=32..64 widths that triples the systolic
+    array's contraction-depth utilization. Numerics identical to the
+    slice2d and XLA forms (asserted in tests/test_dsgn_compat.py)."""
+    b, d, h, w, c = x.shape
+    f = kernel.shape[-1]
+    kernel = kernel.astype(x.dtype)
+    d_out = (d + 2 * 1 - 3) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    taps = []
+    for t in range(3):
+        end = t + 1 + stride * (d_out - 1)
+        taps.append(xp[:, t:end:stride] if stride > 1 else xp[:, t:end])
+    xcat = jnp.concatenate(taps, axis=-1).reshape(b * d_out, h, w, 3 * c)
+    # tap becomes the OUTER input-channel index, matching the concat order
+    k2 = kernel.transpose(1, 2, 0, 3, 4).reshape(3, 3, 3 * c, f)
+    dn = jax.lax.conv_dimension_numbers(
+        (b * d_out, h, w, 3 * c), (3, 3, 3 * c, f), ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        xcat, k2, window_strides=(stride, stride), padding=((1, 1), (1, 1)),
+        dimension_numbers=dn, preferred_element_type=x.dtype)
+    return y.reshape(b, d_out, y.shape[1], y.shape[2], f)
+
+
 def conv_transpose3d_depthpoly(x, kernel):
     """`nn.ConvTranspose(F, (3,3,3), strides=(2,2,2), padding=[(1,2)]*3)`
     (the compat hourglass's 2x-upsampling deconv, models/dsgn_compat.py

@@ -446,15 +446,37 @@ def test_conv3d_slice2d_matches_nn_conv(stride):
                                atol=1e-5, rtol=1e-5)
 
 
-def test_compat_convbn_conv3d_methods_share_checkpoints():
-    """CompatConvBn(conv3d_method="slice2d") consumes the "xla" variant's
-    exact parameter tree and produces the same output and input grad."""
+@pytest.mark.parametrize("stride", [1, 2])
+def test_conv3d_tapconcat_matches_nn_conv(stride):
+    """ops.conv3d_tapconcat == nn.Conv(F,(3,3,3)) exactly (same kernel
+    tensor), for both strides the compat assembly uses."""
+    from flax import linen as nn
+
+    from eval_driving_safety_tpu.ops.conv3d_slice2d import conv3d_tapconcat
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 8, 6, 10, 5).astype(np.float32))
+    ref = nn.Conv(7, (3, 3, 3), strides=(stride,) * 3,
+                  padding=[(1, 1)] * 3, use_bias=False)
+    params = ref.init(jax.random.PRNGKey(0), x)
+    want = ref.apply(params, x)
+    got = conv3d_tapconcat(x, params["params"]["kernel"], stride)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["slice2d", "concat"])
+def test_compat_convbn_conv3d_methods_share_checkpoints(method):
+    """CompatConvBn's reformulated conv3d methods consume the "xla"
+    variant's exact parameter tree and produce the same output and input
+    grad."""
     from eval_driving_safety_tpu.models.dsgn_compat import CompatConvBn
 
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(1, 8, 6, 10, 4).astype(np.float32))
     mx = CompatConvBn(6, dims=3, stride=2, conv3d_method="xla")
-    ms = CompatConvBn(6, dims=3, stride=2, conv3d_method="slice2d")
+    ms = CompatConvBn(6, dims=3, stride=2, conv3d_method=method)
     params = mx.init(jax.random.PRNGKey(0), x)
     bn = params["params"]["bn"]
     for k in bn:
