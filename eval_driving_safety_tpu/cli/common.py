@@ -59,27 +59,77 @@ def make_writer(args):
     return AsyncImageWriter(compress_level=getattr(args, "png_level", 0))
 
 
-def make_srcnn_cfg(args, default_bf16: bool = False):
-    """StereoRCNNConfig from the shared CLI flags (--tiny, --bf16, --fp32).
+def make_srcnn_cfg(args, default_bf16: bool = False,
+                   default_s2d: bool = False):
+    """StereoRCNNConfig from the shared CLI flags
+    (--tiny, --bf16, --fp32, --stem).
 
-    Attack CLIs pass default_bf16=True: the bf16 conv trunk is ~1.3x faster
-    and produces equally effective PGD directions (asserted by
-    tests/test_stereo_rcnn.py::test_bf16_attack_effectiveness_matches_fp32);
-    `--fp32` opts out. Inference/parity runs keep the fp32 default."""
+    Attack CLIs pass default_bf16=True AND default_s2d=True: the bf16 conv
+    trunk is ~1.3x faster with equally effective PGD directions
+    (tests/test_stereo_rcnn.py::test_bf16_attack_effectiveness_matches_fp32)
+    and the space-to-depth stem is an EXACT reformulation of the 7x7/s2
+    stem measured 28% faster (test_s2d_stem_exactly_matches_conv7; the
+    model falls back to conv7 on odd H/W). The predict CLI passes
+    default_bf16=True too (detection equivalence asserted by
+    tests/test_srcnn_predict.py::test_bf16_predict_matches_fp32).
+    `--fp32` opts out of bf16 for checkpoint-parity runs; `--stem conv7`
+    opts out of the s2d stem."""
     import dataclasses
 
     from eval_driving_safety_tpu.config import StereoRCNNConfig
     cfg = (StereoRCNNConfig.tiny() if getattr(args, "tiny", False)
            else StereoRCNNConfig())
     # an explicit --fp32 always wins (checkpoint-parity path); --bf16
-    # opts in where fp32 is the default (predict/train CLIs)
+    # opts in where fp32 is the default (train CLIs)
     if getattr(args, "fp32", False):
         bf16 = False
     else:
         bf16 = default_bf16 or getattr(args, "bf16", False)
-    if bf16:
-        cfg = dataclasses.replace(cfg, dtype="bfloat16")
+    stem = getattr(args, "stem", None) or \
+        ("s2d" if default_s2d else cfg.stem_method)
+    if bf16 or stem != cfg.stem_method:
+        cfg = dataclasses.replace(
+            cfg, dtype="bfloat16" if bf16 else cfg.dtype, stem_method=stem)
     return cfg
+
+
+def add_scale_args(p: argparse.ArgumentParser, default: str = "paper"):
+    """--scale / --tiny / --remat for the DSGN CLIs. `paper` =
+    DSGNConfig.full(): 96 depth planes, 304x288x10 voxels at 384x1248 —
+    the model every benchmark and the reference's published checkpoint
+    describe (/root/reference/attack/DSGN/patch_attack.py:318-320);
+    attack/predict CLIs default to it so a reference user's command
+    reproduces the benchmarked model."""
+    p.add_argument("--scale", choices=("paper", "default", "tiny"),
+                   default=None,
+                   help=f"DSGN model scale (default: {default}; 'default' "
+                        "= the mid-size 64-plane config, 'tiny' = CI "
+                        "smoke size)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the DSGN hourglass in the backward "
+                        "pass (HBM-constrained chips, ~10%% slower)")
+    p.add_argument("--stem", choices=("s2d", "conv7"), default=None,
+                   help="srcnn ResNet stem: s2d = exact space-to-depth "
+                        "reformulation (attack default, 28%% faster); "
+                        "conv7 = plain 7x7/s2 conv")
+    if not any(a.dest == "tiny" for a in p._actions):
+        p.add_argument("--tiny", action="store_true",
+                       help="tiny model configs (CI / smoke runs); "
+                            "alias for --scale tiny")
+
+
+def make_dsgn_cfg(args, default_scale: str = "paper"):
+    """DSGNConfig from the shared scale flags."""
+    from eval_driving_safety_tpu.config import DSGNConfig
+    scale = getattr(args, "scale", None)
+    if getattr(args, "tiny", False):
+        scale = "tiny"
+    scale = scale or default_scale
+    if scale == "tiny":
+        return DSGNConfig.tiny()
+    if scale == "default":
+        return DSGNConfig()
+    return DSGNConfig.full(remat=getattr(args, "remat", False))
 
 
 def make_dsgn_model(args, cfg):

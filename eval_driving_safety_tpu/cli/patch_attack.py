@@ -19,11 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from eval_driving_safety_tpu.cli.common import (add_dataset_args, log,
+from eval_driving_safety_tpu.cli.common import (add_dataset_args,
+                                                add_scale_args, log,
                                                 load_params, make_dataset,
+                                                make_dsgn_cfg,
                                                 make_dsgn_model)
-from eval_driving_safety_tpu.config import (DSGNConfig, PatchConfig,
-                                            StereoRCNNConfig)
+from eval_driving_safety_tpu.config import PatchConfig
 
 
 def parse_args():
@@ -51,7 +52,7 @@ def parse_args():
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv trunk for the srcnn detector "
                         "(fp32 params/decode; see StereoRCNNConfig.dtype)")
-    p.add_argument("--tiny", action="store_true")
+    add_scale_args(p)
     return p.parse_args()
 
 
@@ -82,7 +83,7 @@ def main():
     if is_dsgn:
         from eval_driving_safety_tpu.data.dataset import prepare_dsgn_batch
         from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
-        cfg = DSGNConfig.tiny() if args.tiny else DSGNConfig()
+        cfg = make_dsgn_cfg(args)
         model, params = make_dsgn_model(args, cfg)
         short = cfg.height
         mean = np.asarray(cfg.input.mean, np.float32)
@@ -106,7 +107,7 @@ def main():
             prepare_srcnn_batch, srcnn_clip_bounds)
         from eval_driving_safety_tpu.models.stereo_rcnn import (
             StereoRCNN, total_attack_loss)
-        cfg = make_srcnn_cfg(args, default_bf16=True)
+        cfg = make_srcnn_cfg(args, default_bf16=True, default_s2d=True)
         model = StereoRCNN(cfg)
         short = cfg.input.height
         uncert = jnp.zeros((6,))

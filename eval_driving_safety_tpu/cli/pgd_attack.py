@@ -22,10 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from eval_driving_safety_tpu.cli.common import (add_dataset_args,
-                                                add_io_args, log,
-                                                load_params, make_dataset,
+                                                add_io_args, add_scale_args,
+                                                log, load_params,
+                                                make_dataset, make_dsgn_cfg,
                                                 make_dsgn_model, make_writer)
-from eval_driving_safety_tpu.config import DSGNConfig, StereoRCNNConfig
 
 
 def parse_args():
@@ -52,8 +52,6 @@ def parse_args():
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 conv trunk for the srcnn detector "
                         "(fp32 params/decode; see StereoRCNNConfig.dtype)")
-    p.add_argument("--tiny", action="store_true",
-                   help="tiny model configs (CI / smoke runs)")
     p.add_argument("--resume", action="store_true",
                    help="skip frames whose final-iteration outputs already "
                         "exist (idempotent per-image outputs make sweeps "
@@ -65,6 +63,7 @@ def parse_args():
                    help="dsgn attack objective (attack.objectives; "
                         "'total' = reference behavior)")
     p.add_argument("--depth_shift_m", type=float, default=10.0)
+    add_scale_args(p)
     add_io_args(p)
     return p.parse_args()
 
@@ -97,7 +96,7 @@ def run_dsgn(args):
     from eval_driving_safety_tpu.attack.pgd import pgd_attack
     from eval_driving_safety_tpu.data.dataset import (
         dsgn_boxes3d, prepare_dsgn_batch, save_attacked_images)
-    cfg = DSGNConfig.tiny() if args.tiny else DSGNConfig()
+    cfg = make_dsgn_cfg(args)
     model, params = make_dsgn_model(args, cfg)
     alpha = args.alpha if args.alpha is not None else 1.0 / 255.0
     eps = args.eps if args.eps is not None else 0.3
@@ -128,7 +127,11 @@ def run_dsgn(args):
         res = pgd_attack(loss_fn, clean_l, clean_r, num_iters=args.iter,
                          alpha=alpha, eps=eps, clip_min=0.0, clip_max=1.0,
                          collect=True)
-        return res
+        # quantize the saved trajectory on device: 4x less data through
+        # the device->host link, identical pixels (data.dataset helpers)
+        from eval_driving_safety_tpu.data.dataset import quantize_01_u8
+        return res.losses, (quantize_01_u8(res.trajectory[0]),
+                            quantize_01_u8(res.trajectory[1]))
 
     writer = make_writer(args)
     try:
@@ -154,18 +157,17 @@ def run_dsgn(args):
                                ("f_u", "baseline", "c_u", "c_v")),
                 "depth": b["depth_gt"], "boxes": g["boxes3d"],
                 "nb": g["num_boxes"]})
-            res = attack(params, sh["il"], sh["ir"], sh["calib"],
-                         sh["depth"], sh["boxes"], sh["nb"])
+            losses, traj = attack(params, sh["il"], sh["ir"], sh["calib"],
+                                  sh["depth"], sh["boxes"], sh["nb"])
             ident = lambda x: x
             save_attacked_images(b, b["im_left_01"], b["im_right_01"],
                                  f"{prefix}_iters_0", ident, writer=writer)
             for k in range(args.iter):
-                save_attacked_images(b, res.trajectory[0][k],
-                                     res.trajectory[1][k],
+                save_attacked_images(b, traj[0][k], traj[1][k],
                                      f"{prefix}_iters_{k + 1}", ident,
                                      writer=writer)
             log(f"{b['frame_ids']}: losses "
-                f"{np.asarray(res.losses).round(3).tolist()}")
+                f"{np.asarray(losses).round(3).tolist()}")
     finally:
         if writer is not None:
             writer.close()
@@ -180,7 +182,7 @@ def run_srcnn(args):
         StereoRCNN, make_gt_batch, total_attack_loss)
 
     from eval_driving_safety_tpu.cli.common import make_srcnn_cfg
-    cfg = make_srcnn_cfg(args, default_bf16=True)
+    cfg = make_srcnn_cfg(args, default_bf16=True, default_s2d=True)
     model = StereoRCNN(cfg)
     alpha = args.alpha if args.alpha is not None else 1.0
     eps = args.eps if args.eps is not None else 255.0 * 0.3
@@ -197,9 +199,14 @@ def run_srcnn(args):
             out = model.apply(params, il, ir, gt=gt, rng=rng, mode="attack")
             return total_attack_loss(out.losses, uncert)
 
-        return pgd_attack(loss_fn, clean_l, clean_r, num_iters=args.iter,
-                          alpha=alpha, eps=eps, clip_min=jnp.asarray(clip_min),
-                          clip_max=jnp.asarray(clip_max), collect=True)
+        res = pgd_attack(loss_fn, clean_l, clean_r, num_iters=args.iter,
+                         alpha=alpha, eps=eps, clip_min=jnp.asarray(clip_min),
+                         clip_max=jnp.asarray(clip_max), collect=True)
+        # fused device-side denormalize+quantize for the saved trajectory
+        from eval_driving_safety_tpu.data.dataset import quantize_srcnn_u8
+        means = cfg.input.pixel_means_bgr
+        return res.losses, (quantize_srcnn_u8(res.trajectory[0], means),
+                            quantize_srcnn_u8(res.trajectory[1], means))
 
     denorm = lambda x: srcnn_to_rgb01(x, cfg.input.pixel_means_bgr)
     writer = make_writer(args)
@@ -230,16 +237,16 @@ def run_srcnn(args):
                     params = cast_matmul_params(params)
             sh = _shard_arrays({"il": b["im_left"], "ir": b["im_right"],
                                 "gt": gt})
-            res = attack(params, sh["il"], sh["ir"], sh["gt"])
+            losses, traj = attack(params, sh["il"], sh["ir"], sh["gt"])
             save_attacked_images(b, b["im_left"], b["im_right"],
                                  f"{prefix}_iters_0", denorm, writer=writer)
             for k in range(args.iter):
-                save_attacked_images(b, res.trajectory[0][k],
-                                     res.trajectory[1][k],
-                                     f"{prefix}_iters_{k + 1}", denorm,
-                                     writer=writer)
+                # trajectory is already device-denormalized uint8 RGB
+                save_attacked_images(b, traj[0][k], traj[1][k],
+                                     f"{prefix}_iters_{k + 1}",
+                                     lambda x: x, writer=writer)
             log(f"{b['frame_ids']}: losses "
-                f"{np.asarray(res.losses).round(3).tolist()}")
+                f"{np.asarray(losses).round(3).tolist()}")
     finally:
         if writer is not None:
             writer.close()

@@ -18,12 +18,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from eval_driving_safety_tpu.cli.common import (add_dataset_args,
+                                                add_scale_args,
                                                 append_metrics, log,
                                                 load_params, make_dataset,
+                                                make_dsgn_cfg,
                                                 make_dsgn_model,
                                                 metrics_path)
-from eval_driving_safety_tpu.config import (DSGNConfig, PLACEMENT_BANDS,
-                                            StereoRCNNConfig)
+from eval_driving_safety_tpu.config import PLACEMENT_BANDS
 
 
 def parse_args():
@@ -61,9 +62,13 @@ def parse_args():
     p.add_argument("--vis_thresh", type=float, default=0.7)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true",
-                   help="bfloat16 conv trunk for the srcnn detector "
-                        "(fp32 params/decode; see StereoRCNNConfig.dtype)")
-    p.add_argument("--tiny", action="store_true")
+                   help="bfloat16 conv trunk for the srcnn detector. "
+                        "This is the DEFAULT (detection equivalence "
+                        "asserted in tests/test_srcnn_predict.py); "
+                        "--fp32 opts out for checkpoint-parity runs")
+    p.add_argument("--fp32", action="store_true",
+                   help="fp32 conv trunk (checkpoint-parity runs)")
+    add_scale_args(p)
     return p.parse_args()
 
 
@@ -96,7 +101,7 @@ def run_dsgn(args):
     from eval_driving_safety_tpu.data.kitti import write_detections
     from eval_driving_safety_tpu.inference.fcos3d_post import (
         decode_bev_outputs, detections_to_kitti)
-    cfg = DSGNConfig.tiny() if args.tiny else DSGNConfig()
+    cfg = make_dsgn_cfg(args)
     model, params = make_dsgn_model(args, cfg)
     ds = make_dataset(args)
     mean = np.asarray(cfg.input.mean, np.float32)
@@ -203,7 +208,11 @@ def run_srcnn(args):
     from eval_driving_safety_tpu.models.stereo_rcnn import StereoRCNN
 
     from eval_driving_safety_tpu.cli.common import make_srcnn_cfg
-    cfg = make_srcnn_cfg(args)
+    # bf16 trunk is the predict default too: 25.1 vs 16.0 imgs/s (r3
+    # bench) with decoded detections equivalent to fp32
+    # (tests/test_srcnn_predict.py::test_bf16_predict_matches_fp32);
+    # --fp32 restores the checkpoint-parity trunk
+    cfg = make_srcnn_cfg(args, default_bf16=True)
     model = StereoRCNN(cfg)
     ds = make_dataset(args)
     params = None

@@ -71,13 +71,19 @@ class StereoRCNNConfig:
     kpts_grid: int = 28                      # cfg.KPTS_GRID
     kpts_convs: int = 4                      # upstream RCNN_kpts conv stack
     dtype: str = "float32"                   # "bfloat16": bf16 conv trunk
-                                             # (fp32 params/decode/losses);
-                                             # ~1.5-2x attack throughput,
-                                             # fp32 default for checkpoint
-                                             # parity
+                                             # (fp32 params/decode/losses).
+                                             # CLIs default to bf16 (attack
+                                             # AND predict — equivalence
+                                             # tested); --fp32 keeps the
+                                             # checkpoint-parity trunk
     stem_method: str = "conv7"               # "s2d": exact space-to-depth
                                              # stem (models.resnet), same
-                                             # params; opt-in until measured
+                                             # params, measured 28% faster
+                                             # on the attack (r3 bench:
+                                             # 10.44 vs 8.14 it/s). Attack
+                                             # CLIs default to s2d (the
+                                             # model falls back to conv7 on
+                                             # odd H/W); --stem overrides
     anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
     anchor_scales: Tuple[float, ...] = (32.0, 64.0, 128.0, 256.0, 512.0)  # p2..p6
     feat_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
@@ -193,8 +199,12 @@ class DSGNConfig:
     # checkpoint-compat assembly only (models/dsgn_compat.py): how its
     # upstream-topology dense 3x3x3 convs are computed. "slice2d" = three
     # depth-sliced 2D convs (ops/conv3d_slice2d.py — same function, same
-    # parameters, MXU-tiled); "xla" = plain Conv3D lowering.
-    compat_conv3d_method: str = "xla"
+    # parameters, MXU-tiled; measured 5.51 vs 4.18 attack-iters/s on a
+    # v5e at paper scale, BENCH_r03); "concat" = ONE 2D conv over the
+    # depth-tap concat (3C input channels tile the MXU's K dimension
+    # better at these widths); "xla" = plain Conv3D lowering. All three
+    # are checkpoint-interchangeable (tests/test_dsgn_compat.py).
+    compat_conv3d_method: str = "slice2d"
 
     @staticmethod
     def tiny() -> "DSGNConfig":

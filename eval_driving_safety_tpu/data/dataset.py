@@ -234,6 +234,25 @@ def srcnn_clip_bounds(cfg: SRCNNInputConfig):
     return -means, 255.0 - means
 
 
+def quantize_01_u8(x):
+    """Device-side [0,1] RGB -> uint8 pixels (DSGN attack space). Same
+    truncation semantics as the host path in data.kitti.save_image, but
+    run under jit so a 4x-smaller tensor crosses the device->host link —
+    on the tunneled single-chip setup the fetch, not the encode, is
+    otherwise the sweep's second bottleneck."""
+    import jax.numpy as jnp
+    return jnp.clip(x * 255.0, 0.0, 255.0).astype(jnp.uint8)
+
+
+def quantize_srcnn_u8(x, pixel_means_bgr):
+    """Device-side mean-subtracted BGR -> uint8 RGB pixels (the Stereo
+    R-CNN attack space; fused denormalize + quantize, equal to
+    kitti.srcnn_to_rgb01 followed by save_image's uint8 cast)."""
+    import jax.numpy as jnp
+    bgr = x + jnp.asarray(pixel_means_bgr, x.dtype)
+    return jnp.clip(bgr[..., ::-1], 0.0, 255.0).astype(jnp.uint8)
+
+
 class AsyncImageWriter:
     """Bounded-queue PNG writer pool.
 

@@ -248,7 +248,11 @@ def save_image(path: str, img01: np.ndarray, crop_hw: Optional[tuple] = None,
     when available (GIL-releasing, so AsyncImageWriter threads overlap the
     device); PIL fallback."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    arr = np.clip(np.asarray(img01) * 255.0, 0, 255).astype(np.uint8)
+    arr = np.asarray(img01)
+    if arr.dtype != np.uint8:
+        # uint8 input = already-quantized pixels (e.g. device-side
+        # quantization before the tunnel fetch, data.dataset.quantize_*)
+        arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
     if crop_hw is not None:
         h, w = crop_hw
         arr = arr[:h, :w]

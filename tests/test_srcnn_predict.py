@@ -160,6 +160,95 @@ def test_predict_image_end_to_end_synthetic():
 
 
 @pytest.mark.slow
+@pytest.mark.medium
+def test_bf16_predict_matches_fp32(monkeypatch):
+    """Decoded detections from the bf16 conv trunk match fp32's on the
+    same weights — boxes within pixels, scores within small tolerances.
+    This is what justifies bf16 as the predict-CLI default
+    (cli/predict_and_save.py run_srcnn; VERDICT r3 weak #3): 25.1 vs 16.0
+    imgs/s measured on a v5e (BENCH_r03).
+
+    bf16 touches only the conv trunk, so the equivalence that matters is
+    the trunk-derived decode (proposals -> scores -> NMS -> boxes/kpts);
+    the 3D solve is host-side float64 numpy, bit-identical given equal
+    inputs — it is replaced by a deterministic stand-in here because the
+    real Gauss-Newton rejects the geometrically-inconsistent stereo boxes
+    a RANDOM RPN emits (status=0), regardless of dtype."""
+    import dataclasses
+
+    import jax
+
+    import eval_driving_safety_tpu.inference.stereo_rcnn_predict as SP
+    from eval_driving_safety_tpu.models.stereo_rcnn import StereoRCNN
+
+    def fake_solver(hw, calib, alpha, dims, box_l, box_r, kpts):
+        # deterministic in the decoded quantities -> detections reflect
+        # boxes/scores/keypoints only
+        return 1, np.array([box_l[0] / 50.0, box_l[1] / 50.0,
+                            10.0 + kpts[0] / 100.0, alpha])
+
+    monkeypatch.setattr(SP, "solve_x_y_z_theta_from_kpt", fake_solver)
+
+    import flax
+
+    cfg32 = dataclasses.replace(StereoRCNNConfig.tiny(), score_thresh=1e-3)
+    cfg16 = dataclasses.replace(cfg32, dtype="bfloat16")
+    model32, model16 = StereoRCNN(cfg32), StereoRCNN(cfg16)
+    h, w = cfg32.input.height, cfg32.input.width
+    # structured scene (a bright stereo-shifted blob): random conv weights
+    # respond to contrast, so proposals are decisive rather than the
+    # near-tie orderings pure noise produces (where ANY rounding — bf16 or
+    # otherwise — reorders the top-k; measured ~5 px wobble on noise vs
+    # exact box agreement here)
+    base = jnp.full((1, h, w, 3), -80.0)
+    il = base.at[:, int(.35 * h):int(.65 * h),
+                 int(.40 * w):int(.60 * w)].set(120.0)
+    ir = base.at[:, int(.35 * h):int(.65 * h),
+                 int(.38 * w):int(.58 * w)].set(120.0)
+    variables = flax.core.unfreeze(
+        model32.init(jax.random.PRNGKey(0), il, ir, mode="infer"))
+    # plant sane semantic heads (zero kernels -> output == bias) so the
+    # Gauss-Newton 3D solve converges; the bf16-vs-fp32 trunk differences
+    # still flow through the RPN proposals and classification scores
+    rcnn = variables["params"]["rcnn"]
+    rcnn["bbox_pred"]["kernel"] = jnp.zeros_like(rcnn["bbox_pred"]["kernel"])
+    rcnn["bbox_pred"]["bias"] = jnp.zeros_like(rcnn["bbox_pred"]["bias"])
+    rcnn["dim_orien_pred"]["kernel"] = jnp.zeros_like(
+        rcnn["dim_orien_pred"]["kernel"])
+    rcnn["dim_orien_pred"]["bias"] = jnp.asarray(
+        [0.0] * 5 + [1.5, 1.7, 4.0, 0.2, 0.98])
+    rcnn["cls_score"]["bias"] = jnp.asarray([0.0, 2.0])
+
+    out32 = model32.apply(variables, il, ir, mode="infer")
+    out16 = model16.apply(variables, il, ir, mode="infer")
+
+    dets32 = predict_image(out32, np.asarray(il[0]), np.asarray(ir[0]),
+                           CALIB, cfg32, image_hw=(h, w),
+                           dense_align=False)
+    dets16 = predict_image(out16, np.asarray(il[0]), np.asarray(ir[0]),
+                           CALIB, cfg16, image_hw=(h, w),
+                           dense_align=False)
+    assert len(dets32) > 0, "planted heads must emit detections"
+    assert len(dets32) == len(dets16)
+    # greedy-match by bbox proximity, then compare the detection fields
+    used = set()
+    for d in dets32:
+        best, best_dist = None, 1e9
+        for j, e in enumerate(dets16):
+            if j in used:
+                continue
+            dist = float(np.abs(d["bbox"] - e["bbox"]).max())
+            if dist < best_dist:
+                best, best_dist = j, dist
+        used.add(best)
+        e = dets16[best]
+        np.testing.assert_allclose(e["bbox"], d["bbox"], atol=2.0)
+        np.testing.assert_allclose(e["score"], d["score"], atol=0.03)
+        np.testing.assert_allclose(e["location"][2], d["location"][2],
+                                   rtol=0.1, atol=0.5)
+
+
+@pytest.mark.slow
 def test_predict_image_network_scale_recovers_depth():
     """Boxes decoded at network scale (1.6x) must still solve to the
     ORIGINAL-resolution 3D pose (the reference divides by im_info scale
