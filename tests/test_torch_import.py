@@ -371,3 +371,91 @@ def test_import_stereo_rcnn_strips_dataparallel_and_reports_unmapped():
     wrapped = {f"module.{k}": v for k, v in sd.items()}
     imported = import_stereo_rcnn(wrapped)
     assert imported["unmapped"] == ["some_fork_extra.weight"]
+
+
+@pytest.mark.slow
+@pytest.mark.medium
+def test_full_arch_pth_file_roundtrip_unmapped_empty(tmp_path):
+    """The only previously untested seam closed at FULL arch (VERDICT r3
+    next #7): a REAL .pth file in the published checkpoint's exact
+    container format — torch.save of {'model': DataParallel-prefixed
+    tensors, 'uncert': 6-vector} at resnet101 widths
+    (/root/reference/attack/Stereo-RCNN/pgd_attack.py:93-97) — through
+    `load_torch_state_dict -> import_stereo_rcnn` with unmapped == [] and
+    every converted shape equal to the full model's init tree
+    (jax.eval_shape: no compute, so full widths stay cheap)."""
+    import torch
+
+    from eval_driving_safety_tpu.config import StereoRCNNConfig
+    from eval_driving_safety_tpu.models.stereo_rcnn import StereoRCNN
+    from eval_driving_safety_tpu.utils.torch_import import (
+        import_stereo_rcnn, load_torch_state_dict)
+
+    cfg = StereoRCNNConfig()                       # FULL widths: resnet101
+    sd = _synthetic_upstream_sd(cfg)
+    path = str(tmp_path / "stereo_rcnn_12_6477.pth")
+    torch.save({"model": {f"module.{k}": torch.from_numpy(np.asarray(v))
+                          for k, v in sd.items()},
+                "uncert": torch.tensor([-1.0, -1.0, 0.0, 0.0, 0.0, 0.0])},
+               path)
+
+    loaded, uncert = load_torch_state_dict(path)
+    np.testing.assert_allclose(uncert, [-1, -1, 0, 0, 0, 0])
+    imported = import_stereo_rcnn(loaded)
+    assert imported["unmapped"] == [], imported["unmapped"][:8]
+    assert imported["num_kpts_convs"] == cfg.kpts_convs
+
+    model = StereoRCNN(cfg)
+    h, w = cfg.input.height, cfg.input.width
+    x = jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32)
+    tree = jax.eval_shape(
+        lambda a, b: model.init(jax.random.PRNGKey(0), a, b, mode="infer"),
+        x, x)
+    for mod in ("backbone", "fpn", "rpn", "rcnn", "kpts"):
+        want = jax.tree_util.tree_map(lambda s: s.shape,
+                                      tree["params"][mod])
+        got = jax.tree_util.tree_map(np.shape, imported["params"][mod])
+        assert want == got, f"{mod} tree mismatch at full arch"
+
+
+@pytest.mark.slow
+@pytest.mark.medium
+def test_full_arch_dsgn_tar_roundtrip_unmapped_empty(tmp_path):
+    """DSGN twin of the full-arch file round-trip: a .tar in the published
+    container format ({'state_dict': module.-prefixed tensors},
+    /root/reference/attack/DSGN/pgd_attack.py:142-145) at the REAL
+    upstream widths (layer_blocks (3,16,3,3), hg 64, bev 128) imports with
+    unmapped == [] and shapes equal to DSGNCompat.init at paper geometry."""
+    import dataclasses
+
+    import torch
+
+    from eval_driving_safety_tpu.config import DSGNConfig
+    from eval_driving_safety_tpu.models.dsgn_compat import (DSGNCompat,
+                                                            DSGNCompatArch)
+    from eval_driving_safety_tpu.utils.torch_import import (
+        import_dsgn, load_torch_state_dict)
+    from tests.test_dsgn_compat import TDSGNUpstream
+
+    arch = DSGNCompatArch()                        # FULL upstream widths
+    cfg = dataclasses.replace(DSGNConfig.full(), dtype="float32")
+    tm = TDSGNUpstream(arch, cfg.num_voxels_y).eval()
+    path = str(tmp_path / "finetune_53.tar")
+    torch.save({"state_dict": {f"module.{k}": v
+                               for k, v in tm.state_dict().items()}}, path)
+
+    loaded, _ = load_torch_state_dict(path)
+    imported = import_dsgn(loaded)
+    assert imported["unmapped"] == [], imported["unmapped"][:8]
+    assert imported["arch"] == arch
+
+    model = DSGNCompat(cfg, arch)
+    h, w = cfg.height, cfg.width
+    il = jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32)
+    c = jax.ShapeDtypeStruct((1,), jnp.float32)
+    tree = jax.eval_shape(
+        lambda a, b, *cal: model.init(jax.random.PRNGKey(0), a, b, *cal),
+        il, il, c, c, c, c)
+    want = jax.tree_util.tree_map(lambda s: s.shape, tree["params"])
+    got = jax.tree_util.tree_map(np.shape, imported["params"])
+    assert want == got, "full-arch DSGN tree mismatch"
