@@ -251,6 +251,264 @@ def bench_dsgn_patch(iters: int, tiny: bool) -> float:
     return _time(step, iters, (params,), (im_l, im_r, patch))
 
 
+def _make_synthetic_kitti(root: str, n_frames: int, h: int, w: int) -> None:
+    """Synthetic KITTI-layout corpus for the e2e sweep benchmarks:
+    natural-ish stereo pairs (smooth structure + sensor-like noise, so PNG
+    decode/encode costs match real frames), calib files and one-Car
+    labels."""
+    import os
+
+    from eval_driving_safety_tpu.data.kitti import (Calibration,
+                                                    KittiObject, save_image,
+                                                    write_label)
+    rng = np.random.RandomState(0)
+    calib = Calibration.default()
+    for d in ("image_2", "image_3", "calib", "label_2"):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+    yy, xx = np.mgrid[:h, :w]
+    base = np.stack([np.sin(yy / 37.0) * 0.3 + 0.5,
+                     np.cos(xx / 53.0) * 0.3 + 0.5,
+                     ((yy + xx) % 255) / 255.0], -1).astype(np.float32)
+    for i in range(n_frames):
+        img = np.clip(base + rng.rand(h, w, 3).astype(np.float32) * 0.25,
+                      0, 1)
+        fid = f"{i:06d}"
+        save_image(os.path.join(root, "image_2", fid + ".png"), img,
+                   compress_level=6)
+        save_image(os.path.join(root, "image_3", fid + ".png"),
+                   np.roll(img, -8, axis=1), compress_level=6)
+        with open(os.path.join(root, "calib", fid + ".txt"), "w") as f:
+            f.write("P2: " + " ".join(map(str, calib.P2.ravel())) + "\n")
+            f.write("P3: " + " ".join(map(str, calib.P3.ravel())) + "\n")
+        write_label(os.path.join(root, "label_2", fid + ".txt"),
+                    [KittiObject("Car", 0, 0, 0.1,
+                                 np.array([w * .45, h * .4, w * .55, h * .6]),
+                                 np.array([1.5, 1.7, 4.0]),
+                                 np.array([0.5, 1.6, 12.0]), 0.3)])
+
+
+def bench_dsgn_e2e_sweep(tiny: bool, n_frames: int = 12,
+                         n_iters: int = 4) -> float:
+    """END-TO-END PGD sweep throughput in stereo PAIRS/s: PNG decode ->
+    4-iter attack -> save all (iters+1) x 2 PNGs, with the prefetching
+    loader and async uint8 writer overlapping host IO against the device —
+    the north-star's actual unit (BASELINE.md 'full perturbation sweep';
+    the reference's own dominant non-compute cost is this PNG IO,
+    /root/reference/attack/DSGN/pgd_attack.py:79,357-374). Compile +
+    dataset synthesis are excluded; every host cost of a real sweep
+    (decode, batch prep, device fetch, encode) is included."""
+    import os
+    import shutil
+    import tempfile
+
+    from eval_driving_safety_tpu.attack.pgd import pgd_attack
+    from eval_driving_safety_tpu.config import DSGNConfig
+    from eval_driving_safety_tpu.data.dataset import (AsyncImageWriter,
+                                                      KittiStereoDataset,
+                                                      dsgn_boxes3d,
+                                                      prepare_dsgn_batch,
+                                                      quantize_01_u8,
+                                                      save_attacked_images)
+    from eval_driving_safety_tpu.models.dsgn import DSGN
+    from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
+
+    cfg = DSGNConfig.tiny() if tiny else DSGNConfig.full()
+    model = DSGN(cfg)
+    mean = np.asarray(cfg.input.mean)
+    std = np.asarray(cfg.input.std)
+    root = tempfile.mkdtemp(prefix="bench_kitti_")
+    out = tempfile.mkdtemp(prefix="bench_sweep_")
+    try:
+        _make_synthetic_kitti(root, n_frames, h=96 if tiny else 375,
+                              w=320 if tiny else 1242)
+        ds = KittiStereoDataset(root)
+
+        @jax.jit
+        def attack(params, il, ir, calib, depth, boxes, nb):
+            def loss_fn(l, r):
+                o = model.apply(params, (l - mean) / std, (r - mean) / std,
+                                *calib)
+                return dsgn_total_loss(o, depth, boxes, nb, cfg)[0]
+            res = pgd_attack(loss_fn, il, ir, num_iters=n_iters,
+                             alpha=1 / 255., eps=0.3, clip_min=0.0,
+                             clip_max=1.0, collect=True)
+            return res.losses, (quantize_01_u8(res.trajectory[0]),
+                                quantize_01_u8(res.trajectory[1]))
+
+        def run_batch(samples, writer):
+            b = prepare_dsgn_batch(samples, cfg.input)
+            g = dsgn_boxes3d(samples)
+            calib = tuple(jnp.asarray(b[k]) for k in
+                          ("f_u", "baseline", "c_u", "c_v"))
+            losses, traj = attack(params, jnp.asarray(b["im_left_01"]),
+                                  jnp.asarray(b["im_right_01"]), calib,
+                                  jnp.asarray(b["depth_gt"]),
+                                  jnp.asarray(g["boxes3d"]),
+                                  jnp.asarray(g["num_boxes"]))
+            if writer is None:
+                np.asarray(traj[0])        # warmup: force the full fetch
+                return
+            ident = lambda x: x
+            save_attacked_images(b, b["im_left_01"], b["im_right_01"],
+                                 os.path.join(out, "dsgn_pgd_iters_0"),
+                                 ident, writer=writer)
+            for k in range(n_iters):
+                save_attacked_images(
+                    b, traj[0][k], traj[1][k],
+                    os.path.join(out, f"dsgn_pgd_iters_{k + 1}"),
+                    ident, writer=writer)
+
+        first = [ds.get(0)]
+        b0 = prepare_dsgn_batch(first, cfg.input)
+        calib0 = tuple(jnp.asarray(b0[k])
+                       for k in ("f_u", "baseline", "c_u", "c_v"))
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.asarray(b0["im_left"]),
+            jnp.asarray(b0["im_right"]), *calib0)
+        run_batch(first, None)             # compile warmup, untimed
+
+        t0 = time.perf_counter()
+        writer = AsyncImageWriter(workers=2, compress_level=0)
+        for samples in ds.batches(1, prefetch=2, io_workers=4):
+            run_batch(samples, writer)
+        writer.close()
+        return n_frames / (time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
+                          n_iters: int = 4) -> float:
+    """Stereo R-CNN twin of bench_dsgn_e2e_sweep (the reference sweep at
+    /root/reference/attack/Stereo-RCNN/pgd_attack.py:126-243): decode ->
+    resize to 600-scale -> 4-iter PGD on the 6-term loss -> save all
+    iterations, overlapped."""
+    import os
+    import shutil
+    import tempfile
+
+    from eval_driving_safety_tpu.attack.pgd import pgd_attack
+    from eval_driving_safety_tpu.cli.common import make_srcnn_cfg
+    from eval_driving_safety_tpu.data.dataset import (AsyncImageWriter,
+                                                      KittiStereoDataset,
+                                                      prepare_srcnn_batch,
+                                                      quantize_srcnn_u8,
+                                                      save_attacked_images,
+                                                      srcnn_clip_bounds)
+    from eval_driving_safety_tpu.data.kitti import srcnn_to_rgb01
+    from eval_driving_safety_tpu.models.stereo_rcnn import (
+        StereoRCNN, make_gt_batch, total_attack_loss)
+
+    from types import SimpleNamespace
+    cfg = make_srcnn_cfg(SimpleNamespace(tiny=tiny),    # attack-CLI defaults
+                         default_bf16=True, default_s2d=True)
+    model = StereoRCNN(cfg)
+    clip_min, clip_max = srcnn_clip_bounds(cfg.input)
+    uncert = jnp.zeros((6,))
+    rng = jax.random.PRNGKey(11)
+    means = cfg.input.pixel_means_bgr
+    root = tempfile.mkdtemp(prefix="bench_kitti_")
+    out = tempfile.mkdtemp(prefix="bench_sweep_")
+    try:
+        _make_synthetic_kitti(root, n_frames, h=96 if tiny else 375,
+                              w=320 if tiny else 1242)
+        ds = KittiStereoDataset(root)
+
+        @jax.jit
+        def attack(params, clean_l, clean_r, gt):
+            def loss_fn(il, ir):
+                o = model.apply(params, il, ir, gt=gt, rng=rng,
+                                mode="attack")
+                return total_attack_loss(o.losses, uncert)
+            res = pgd_attack(loss_fn, clean_l, clean_r, num_iters=n_iters,
+                             alpha=1.0, eps=255.0 * 0.3,
+                             clip_min=jnp.asarray(clip_min),
+                             clip_max=jnp.asarray(clip_max), collect=True)
+            return res.losses, (quantize_srcnn_u8(res.trajectory[0], means),
+                                quantize_srcnn_u8(res.trajectory[1], means))
+
+        denorm = lambda x: srcnn_to_rgb01(x, means)
+
+        def run_batch(samples, writer, params):
+            b = prepare_srcnn_batch(samples, cfg.input)
+            gt = make_gt_batch(b["objects"], b["calibs"], cfg,
+                               image_scale=b["scales"])
+            if params is None:
+                params = jax.jit(lambda: model.init(
+                    jax.random.PRNGKey(0), jnp.asarray(b["im_left"]),
+                    jnp.asarray(b["im_right"]), gt=gt, rng=rng,
+                    mode="attack"))()
+                from eval_driving_safety_tpu.models.common import \
+                    cast_matmul_params
+                params = cast_matmul_params(params)
+            losses, traj = attack(params, jnp.asarray(b["im_left"]),
+                                  jnp.asarray(b["im_right"]), gt)
+            if writer is None:
+                np.asarray(traj[0])
+                return params
+            save_attacked_images(b, b["im_left"], b["im_right"],
+                                 os.path.join(out, "srcnn_pgd_iters_0"),
+                                 denorm, writer=writer)
+            for k in range(n_iters):
+                save_attacked_images(
+                    b, traj[0][k], traj[1][k],
+                    os.path.join(out, f"srcnn_pgd_iters_{k + 1}"),
+                    lambda x: x, writer=writer)
+            return params
+
+        params = run_batch([ds.get(0)], None, None)   # compile, untimed
+        t0 = time.perf_counter()
+        writer = AsyncImageWriter(workers=2, compress_level=0)
+        for samples in ds.batches(1, prefetch=2, io_workers=4):
+            run_batch(samples, writer, params)
+        writer.close()
+        return n_frames / (time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def bench_srcnn_patch_train(iters: int, tiny: bool) -> float:
+    """Stereo R-CNN universal-patch TRAINING step (the reference's
+    /root/reference/attack/Stereo-RCNN/patch_attack.py:268-281 unit):
+    composite at the sampled centers, fwd+bwd through the 6-term loss with
+    the patch's own bbox as the only gt object (:187-217), clamped patch
+    update."""
+    from eval_driving_safety_tpu.attack.patch import (init_patch,
+                                                      patch_update_step,
+                                                      sample_patch_centers)
+    from eval_driving_safety_tpu.cli.patch_attack import _srcnn_patch_targets
+    from eval_driving_safety_tpu.data.dataset import srcnn_clip_bounds
+    from eval_driving_safety_tpu.models.stereo_rcnn import total_attack_loss
+
+    cfg, model, il, ir, _ = _srcnn_setup(tiny, bf16=True, stem="s2d")
+    rng = jax.random.PRNGKey(3)
+    h, w = cfg.input.height, cfg.input.width
+    _, radius, patch = init_patch(h, 0.1)
+    cl, cr = sample_patch_centers(jax.random.PRNGKey(4), 1, h, w, radius,
+                                  disparity_shift=-64.0)
+    gt = _srcnn_patch_targets({"frame_ids": ["000000"]}, cfg, radius, cl, cr)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), il, ir, gt=gt, rng=rng, mode="attack"))()
+    from eval_driving_safety_tpu.models.common import cast_matmul_params
+    variables = cast_matmul_params(variables)
+    uncert = jnp.zeros((6,))
+    pix_min, pix_max = srcnn_clip_bounds(cfg.input)
+
+    @jax.jit
+    def step(v, g, l, r, patch):
+        def loss_fn(l_, r_):
+            o = model.apply(v, l_, r_, gt=g, rng=rng, mode="attack")
+            return total_attack_loss(o.losses, uncert)
+        new_patch, _ = patch_update_step(
+            loss_fn, patch, l, r, cl, cr, alpha=1e3, eps=0.1,
+            pixel_min=pix_min, pixel_max=pix_max)
+        return l, r, new_patch
+
+    return _time(step, iters, (variables, gt), (il, ir, patch))
+
+
 def bench_dsgn_compat_attack(iters: int, tiny: bool,
                              conv3d: str | None = None) -> float:
     """PGD-attack rate through the UPSTREAM-TOPOLOGY compat assembly
@@ -373,11 +631,13 @@ def main():
     ap.add_argument("--only", default=None,
                     choices=("headline", "dsgn_pallas_attack",
                              "dsgn_patch_train", "dsgn_compat_attack",
-                             "dsgn_compat_slice2d",
-                             "dsgn_fwd",
+                             "dsgn_compat_concat", "dsgn_compat_xla",
+                             "dsgn_fwd", "dsgn_e2e", "srcnn_e2e",
                              "srcnn_attack", "srcnn_attack_fp32",
-                             "srcnn_attack_s2d",
-                             "srcnn_infer", "srcnn_infer_bf16"))
+                             "srcnn_attack_conv7", "srcnn_patch_train",
+                             "srcnn_infer", "srcnn_infer_fp32"))
+    ap.add_argument("--e2e_frames", type=int, default=12,
+                    help="frames for the end-to-end sweep benchmarks")
     args = ap.parse_args()
 
     extra = {}
@@ -443,28 +703,50 @@ def main():
     if v:
         extra["dsgn_patch_train_iters_per_sec"] = round(v, 4)
 
+    # compat default is now slice2d (config.compat_conv3d_method; its
+    # on-chip win over the plain Conv3D lowering was recorded in r3)
     v = run("dsgn_compat_attack",
             lambda: bench_dsgn_compat_attack(args.iters, args.tiny))
     if v:
         extra["dsgn_compat_attack_iters_per_sec"] = round(v, 4)
-
-    # compat attack with the 3x3x3 convs computed as depth-sliced 2D convs
-    # (ops/conv3d_slice2d.py) — recorded alongside to decide the default
-    v = run("dsgn_compat_slice2d",
+    # tap-concat variant: one 2D conv with 3C input channels (better MXU
+    # contraction-depth utilization) — recorded to decide future defaults
+    v = run("dsgn_compat_concat",
             lambda: bench_dsgn_compat_attack(args.iters, args.tiny,
-                                             conv3d="slice2d"))
+                                             conv3d="concat"))
     if v:
-        extra["dsgn_compat_slice2d_attack_iters_per_sec"] = round(v, 4)
+        extra["dsgn_compat_concat_attack_iters_per_sec"] = round(v, 4)
+    # plain XLA Conv3D lowering, kept as the reference datapoint
+    v = run("dsgn_compat_xla",
+            lambda: bench_dsgn_compat_attack(args.iters, args.tiny,
+                                             conv3d="xla"))
+    if v:
+        extra["dsgn_compat_xla_attack_iters_per_sec"] = round(v, 4)
 
     v = run("dsgn_fwd", lambda: bench_dsgn(args.iters, args.tiny, False))
     if v and v[0]:
         extra["dsgn_clean_pairs_per_sec"] = round(v[0], 4)
-    # bf16 trunk is the attack-CLI default (effectiveness asserted in
-    # tests/test_stereo_rcnn.py::test_bf16_attack_effectiveness_matches_fp32)
-    # so it is the primary SRCNN number; fp32 kept as the parity datapoint
+
+    # END-TO-END sweep rates (load -> attack -> save-all-iters, overlapped)
+    # — the north-star's unit. Ratios vs the pure device-step rate say how
+    # much of the chip the host pipeline sustains.
+    v = run("dsgn_e2e",
+            lambda: bench_dsgn_e2e_sweep(args.tiny, args.e2e_frames))
+    if v:
+        extra["dsgn_pgd_sweep_pairs_per_sec_e2e"] = round(v, 4)
+        if headline:
+            extra["dsgn_e2e_vs_device_ratio"] = round(v / (headline / 4), 4)
+    v = run("srcnn_e2e",
+            lambda: bench_srcnn_e2e_sweep(args.tiny, args.e2e_frames))
+    if v:
+        extra["srcnn_pgd_sweep_pairs_per_sec_e2e"] = round(v, 4)
+
+    # bf16 trunk + s2d stem are the attack-CLI defaults (effectiveness /
+    # exactness asserted in tests/test_stereo_rcnn.py), so they are the
+    # primary SRCNN number; fp32 and conv7 kept as parity datapoints
     v = run("srcnn_attack",
             lambda: bench_srcnn_attack(args.iters, args.tiny, bf16=True,
-                                       with_cost=True))
+                                       with_cost=True, stem="s2d"))
     if v:
         rate, sflops, snbytes = v
         extra["srcnn_attack_iters_per_sec"] = round(rate, 4)
@@ -474,26 +756,32 @@ def main():
         if snbytes and peak_hbm_gbps():
             extra["srcnn_attack_hbm_bw_util"] = round(
                 rate * snbytes / 1e9 / peak_hbm_gbps(), 4)
+        if "srcnn_pgd_sweep_pairs_per_sec_e2e" in extra:
+            extra["srcnn_e2e_vs_device_ratio"] = round(
+                extra["srcnn_pgd_sweep_pairs_per_sec_e2e"] / (rate / 4), 4)
     v = run("srcnn_attack_fp32",
             lambda: bench_srcnn_attack(args.iters, args.tiny, bf16=False))
     if v:
         extra["srcnn_attack_fp32_iters_per_sec"] = round(v, 4)
-    # space-to-depth stem variant (exact reformulation of the 7x7/s2 stem;
-    # tests/test_stereo_rcnn.py::test_s2d_stem_exactly_matches_conv7)
-    v = run("srcnn_attack_s2d",
+    v = run("srcnn_attack_conv7",
             lambda: bench_srcnn_attack(args.iters, args.tiny, bf16=True,
-                                       stem="s2d"))
+                                       stem="conv7"))
     if v:
-        extra["srcnn_attack_s2d_iters_per_sec"] = round(v, 4)
-    v = run("srcnn_infer", lambda: bench_srcnn_infer(args.iters, args.tiny))
+        extra["srcnn_attack_conv7_iters_per_sec"] = round(v, 4)
+    v = run("srcnn_patch_train",
+            lambda: bench_srcnn_patch_train(args.iters, args.tiny))
     if v:
-        extra["srcnn_inference_imgs_per_sec"] = round(v, 4)
-    # bf16-trunk inference variant (the predict CLI keeps fp32 as its
-    # default for checkpoint-parity runs; this records what --bf16 buys)
-    v = run("srcnn_infer_bf16",
+        extra["srcnn_patch_train_iters_per_sec"] = round(v, 4)
+    # bf16 trunk is the predict-CLI default too (detection equivalence in
+    # tests/test_srcnn_predict.py::test_bf16_predict_matches_fp32)
+    v = run("srcnn_infer",
             lambda: bench_srcnn_infer(args.iters, args.tiny, bf16=True))
     if v:
-        extra["srcnn_inference_bf16_imgs_per_sec"] = round(v, 4)
+        extra["srcnn_inference_imgs_per_sec"] = round(v, 4)
+    v = run("srcnn_infer_fp32",
+            lambda: bench_srcnn_infer(args.iters, args.tiny))
+    if v:
+        extra["srcnn_inference_fp32_imgs_per_sec"] = round(v, 4)
 
     unit = ("fwd+bwd iters/s, TINY smoke config (not comparable)"
             if args.tiny else
