@@ -158,11 +158,17 @@ def save_patch(path: str, patch) -> None:
 
 
 def load_patch(path: str, resize_to: int = None) -> jnp.ndarray:
-    """npy (1,3,d,d) -> (d,d,3); optional bilinear resize (the reference
-    ingests Stereo-R-CNN-trained patches this way, patch_attack.py:220-227)."""
+    """npy (1,3,d,d) -> (d,d,3); optional bilinear resize matching the
+    reference's cross-detector ingest `cv2.resize(..., INTER_LINEAR)`
+    (/root/reference/attack/DSGN/patch_attack.py:220-227): half-pixel
+    centers, NO antialiasing — cv2's INTER_LINEAR never antialiases, so
+    `antialias=False` is required for downscales to agree (upscales agree
+    either way). Asserted vs an independent numpy oracle in
+    tests/test_attack.py::test_load_patch_resize_matches_cv2_semantics."""
     arr = np.load(path)[0].transpose(1, 2, 0)
     if resize_to is not None and arr.shape[0] != resize_to:
         x = jax.image.resize(jnp.asarray(arr),
-                             (resize_to, resize_to, arr.shape[-1]), "linear")
+                             (resize_to, resize_to, arr.shape[-1]),
+                             "linear", antialias=False)
         return x
     return jnp.asarray(arr)

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from eval_driving_safety_tpu.attack import (
     circular_mask, composite_patch, composite_patch_batch, init_patch,
@@ -194,6 +195,47 @@ def test_patch_npy_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(back), np.asarray(patch), atol=1e-7)
     resized = load_patch(path, resize_to=21)
     assert resized.shape == (21, 21, 3)
+
+
+def _cv2_inter_linear(img: np.ndarray, out: int) -> np.ndarray:
+    """Independent numpy oracle for cv2.resize(..., INTER_LINEAR) on
+    float32 input: 2-tap bilinear at half-pixel centers, NO antialiasing,
+    with cv2's border rule (sy<0 -> row 0 weight 1; sy>=h-1 -> row h-1)."""
+    h, w, c = img.shape
+
+    def taps(n_src, n_dst):
+        f = (np.arange(n_dst) + 0.5) * (n_src / n_dst) - 0.5
+        i0 = np.floor(f).astype(np.int64)
+        frac = f - i0
+        frac[i0 < 0] = 0.0
+        i0 = np.clip(i0, 0, n_src - 1)
+        i1 = np.minimum(i0 + 1, n_src - 1)
+        return i0, i1, frac.astype(np.float32)
+
+    y0, y1, fy = taps(h, out)
+    x0, x1, fx = taps(w, out)
+    rows0 = img[y0][:, x0] * (1 - fx)[None, :, None] + \
+        img[y0][:, x1] * fx[None, :, None]
+    rows1 = img[y1][:, x0] * (1 - fx)[None, :, None] + \
+        img[y1][:, x1] * fx[None, :, None]
+    return rows0 * (1 - fy)[:, None, None] + rows1 * fy[:, None, None]
+
+
+@pytest.mark.parametrize("src,dst", [(61, 77), (77, 61)])
+def test_load_patch_resize_matches_cv2_semantics(tmp_path, src, dst):
+    """The cross-detector patch ingest resize must match the reference's
+    cv2.resize INTER_LINEAR (/root/reference/attack/DSGN/patch_attack.py:
+    220-227) in BOTH directions: 61->77 is the documented
+    SRCNN-patch-into-DSGN upscale (600*0.1 -> 384*0.2 odd), 77->61 the
+    reverse downscale where antialiasing (which cv2 never applies) would
+    otherwise diverge."""
+    rng = np.random.RandomState(7)
+    patch = rng.rand(src, src, 3).astype(np.float32)
+    path = str(tmp_path / "patch.npy")
+    save_patch(path, jnp.asarray(patch))
+    got = np.asarray(load_patch(path, resize_to=dst))
+    want = _cv2_inter_linear(patch, dst)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
 def test_init_patch_resume(tmp_path):
