@@ -1,10 +1,23 @@
-"""KITTI object-detection AP (R40) evaluator.
+"""KITTI object-detection AP (R40) evaluator — official devkit protocol.
 
 Capability parity: the external `kitti-object-eval-python` the reference
 shells out to after attacked inference
 (/root/reference/attack/DSGN/predict_and_save_pgd.py:287-301): 40-point
 interpolated AP for 2D / BEV / 3D boxes with the official
 easy/moderate/hard difficulty gating and DontCare handling.
+
+This implements the devkit's evaluate_object.cpp protocol faithfully:
+  1. a first matching pass (highest-score det above the IoU gate per gt)
+     collects true-positive scores,
+  2. `getThresholds` samples up to 41 score thresholds at equal recall
+     steps from those scores,
+  3. statistics are recomputed at EVERY threshold (dets below the
+     threshold ignored, matching by max overlap, small-det ignore rules,
+     DontCare absorption for the 2D metric),
+  4. AP is the zero-padded 41-point average of the monotone precision
+     envelope (R40 drops the recall-0 sample).
+Cross-checked against an independent transcription of the official
+algorithm in tests/test_kitti_ap_oracle.py.
 
 Host-side numpy (+ the framework's rotated-IoU op on CPU); per-image box
 counts are tiny, so no accelerator kernel is warranted — the upstream numba
@@ -26,6 +39,8 @@ DIFFICULTY_GATES = {
     "moderate": (25.0, 1, 0.30),
     "hard": (25.0, 2, 0.50),
 }
+
+N_SAMPLE_PTS = 41
 
 
 @dataclass
@@ -101,118 +116,162 @@ def _iou_3d(a_objs, b_objs) -> np.ndarray:
 
 
 def _gt_status(objs: Sequence[KittiObject], cls: str, difficulty) -> List[int]:
-    """1 = counted gt, 0 = ignored (other difficulty / Van for Car),
+    """1 = counted gt, 0 = ignored (other difficulty / neighbor class),
     -1 = irrelevant class."""
     min_h, max_occ, max_trunc = difficulty.gates
     out = []
     for o in objs:
         h = o.bbox[3] - o.bbox[1]
+        neighbor = (cls == "Car" and o.type == "Van") or \
+            (cls == "Pedestrian" and o.type == "Person_sitting")
         if o.type == cls:
             hard = (h < min_h or o.occluded > max_occ
                     or o.truncated > max_trunc)
             out.append(0 if hard else 1)
-        elif cls == "Car" and o.type == "Van":
+        elif neighbor:
             out.append(0)       # neighboring class: ignored, never fp
         else:
             out.append(-1)
     return out
 
 
-def _match_image(gts, dets, ious, gt_status, dontcare, iou_thresh,
-                 min_height: float = 0.0):
-    """Returns (scores, tp_flags) for counted dets + number of counted gts.
+class _Image:
+    """Per-image matching inputs, precomputed once per metric."""
 
-    Greedy: dets in score order claim the best unmatched counted gt.
-    Official ignore rules (evaluate_object.cpp): a det shorter than the
-    difficulty's min bbox height is ignored (neither TP nor FP); a det that
-    matched an ignored gt is not scored; an unmatched det whose
-    intersection / det-area with a DontCare region exceeds 0.5 is dropped.
-    """
-    order = np.argsort([-d.score for d in dets])
-    matched = np.zeros(len(gts), bool)
-    scores, tps, sims = [], [], []
-    for di in order:
-        det_h = dets[di].bbox[3] - dets[di].bbox[1]
-        small_det = det_h < min_height
-        best_iou, best_gt = iou_thresh, -1
-        ignored_hit = False
-        for gi in range(len(gts)):
-            if gt_status[gi] == -1 or matched[gi]:
+    __slots__ = ("gts", "dets", "scores", "ious", "gt_status", "det_small",
+                 "dontcare", "n_gt")
+
+    def __init__(self, gts, dets, ious, gt_status, det_small, dontcare):
+        self.gts = gts
+        self.dets = dets
+        self.scores = np.asarray([d.score for d in dets], float)
+        self.ious = ious
+        self.gt_status = gt_status
+        self.det_small = det_small
+        self.dontcare = dontcare
+        self.n_gt = int(sum(1 for s in gt_status if s == 1))
+
+
+def _first_pass_tp_scores(img: _Image, iou_thresh: float) -> List[float]:
+    """Official first matching pass: each counted gt claims the
+    HIGHEST-SCORE unassigned det above the IoU gate (overlap quality is
+    irrelevant in this pass); returns the claimed scores, which seed the
+    recall-threshold sampling."""
+    taken = np.zeros(len(img.dets), bool)
+    out = []
+    for gi, status in enumerate(img.gt_status):
+        if status == -1:
+            continue
+        cand = (~taken) & (img.ious[gi] > iou_thresh)
+        if not cand.any():
+            continue
+        j = int(np.argmax(np.where(cand, img.scores, -np.inf)))
+        taken[j] = True
+        # only a counted gt matched to a normal-height det yields a TP score
+        if status == 1 and not img.det_small[j]:
+            out.append(float(img.scores[j]))
+    return out
+
+
+def _stats_at_threshold(img: _Image, iou_thresh: float, thresh: float,
+                        compute_aos: bool):
+    """Official scoring pass at one score threshold: gt-loop matching by
+    max overlap among dets >= thresh, ignore rules, DontCare absorption.
+    Returns (tp, fp, similarity_sum)."""
+    below = img.scores < thresh
+    taken = np.zeros(len(img.dets), bool)
+    tp = 0
+    sim = 0.0
+    for gi, status in enumerate(img.gt_status):
+        if status == -1:
+            continue
+        best_j, best_ov, hit_ignored = -1, 0.0, False
+        row = img.ious[gi]
+        for j in range(len(img.dets)):
+            if taken[j] or below[j] or row[j] <= iou_thresh:
                 continue
-            if ious[gi, di] >= best_iou:
-                if gt_status[gi] == 1 and not small_det:
-                    best_iou, best_gt = ious[gi, di], gi
-                else:
-                    ignored_hit = True
-        if best_gt >= 0:
-            matched[best_gt] = True
-            scores.append(dets[di].score)
-            tps.append(True)
-            # orientation similarity (AOS, evaluate_object.cpp): TPs score
-            # (1 + cos(gt_alpha - det_alpha)) / 2, FPs contribute 0
-            sims.append(0.5 * (1.0 + np.cos(gts[best_gt].alpha
-                                            - dets[di].alpha)))
-        elif ignored_hit or small_det:
-            continue            # ignored: neither TP nor FP
-        else:
-            # DontCare absorption: intersection / det-area > 0.5 (2D only)
-            if dontcare is not None and len(dontcare):
-                bb = dets[di].bbox
-                dc = np.asarray(dontcare)
-                ix = np.clip(np.minimum(dc[:, 2], bb[2])
-                             - np.maximum(dc[:, 0], bb[0]), 0, None)
-                iy = np.clip(np.minimum(dc[:, 3], bb[3])
-                             - np.maximum(dc[:, 1], bb[1]), 0, None)
-                det_area = max((bb[2] - bb[0]) * (bb[3] - bb[1]), 1e-9)
-                if (ix * iy / det_area).max(initial=0.0) > 0.5:
-                    continue
-            scores.append(dets[di].score)
-            tps.append(False)
-            sims.append(0.0)
-    return scores, tps, sims, int(sum(1 for s in gt_status if s == 1))
+            if not img.det_small[j] and (row[j] > best_ov or hit_ignored):
+                best_j, best_ov, hit_ignored = j, row[j], False
+            elif img.det_small[j] and best_j == -1:
+                best_j, hit_ignored = j, True
+        if best_j == -1:
+            continue
+        taken[best_j] = True
+        if status == 1 and not img.det_small[best_j]:
+            tp += 1
+            if compute_aos:
+                sim += 0.5 * (1.0 + np.cos(img.gts[gi].alpha
+                                           - img.dets[best_j].alpha))
+    # false positives: unassigned, normal-height, above-threshold dets ...
+    fp_mask = (~taken) & (~img.det_small) & (~below)
+    # ... minus those mostly inside a DontCare region (2D metric only)
+    if img.dontcare is not None and len(img.dontcare) and fp_mask.any():
+        dc = np.asarray(img.dontcare, float)
+        for j in np.nonzero(fp_mask)[0]:
+            bb = img.dets[j].bbox
+            ix = np.clip(np.minimum(dc[:, 2], bb[2])
+                         - np.maximum(dc[:, 0], bb[0]), 0, None)
+            iy = np.clip(np.minimum(dc[:, 3], bb[3])
+                         - np.maximum(dc[:, 1], bb[1]), 0, None)
+            det_area = max((bb[2] - bb[0]) * (bb[3] - bb[1]), 1e-9)
+            if (ix * iy / det_area).max(initial=0.0) > iou_thresh:
+                fp_mask[j] = False
+    return tp, int(fp_mask.sum()), sim
 
 
-def _ap_r40(scores, tps, num_gt, sims=None) -> float:
-    """R40 interpolated AP; with `sims` (per-det orientation similarities)
-    the precision numerator becomes the cumulative similarity — the AOS of
-    the official evaluator (same envelope + 40-point sweep)."""
-    if num_gt == 0:
-        return 0.0
-    order = np.argsort(-np.asarray(scores)) if scores else []
-    tp_sorted = np.asarray(tps, bool)[order] if len(scores) else np.zeros(0, bool)
-    tp_cum = np.cumsum(tp_sorted)
-    fp_cum = np.cumsum(~tp_sorted)
-    recall = tp_cum / num_gt
-    if sims is not None:
-        num = np.cumsum(np.asarray(sims, float)[order]) if len(scores) \
-            else np.zeros(0)
-    else:
-        num = tp_cum
-    precision = num / np.maximum(tp_cum + fp_cum, 1)
-    # monotone envelope
-    for i in range(len(precision) - 2, -1, -1):
-        precision[i] = max(precision[i], precision[i + 1])
-    ap = 0.0
-    for r in np.linspace(1.0 / 40.0, 1.0, 40):
-        idx = np.searchsorted(recall, r, side="left")
-        ap += precision[idx] if idx < len(precision) else 0.0
-    return float(ap / 40.0)
+def _recall_thresholds(tp_scores: Sequence[float], n_gt: int) -> List[float]:
+    """Official getThresholds: walk TP scores in descending order, keeping
+    the score whose left recall is nearest each 1/(N-1) recall step."""
+    v = sorted(tp_scores, reverse=True)
+    out, current = [], 0.0
+    for i, s in enumerate(v):
+        l_recall = (i + 1) / n_gt
+        r_recall = (i + 2) / n_gt if i < len(v) - 1 else l_recall
+        if (r_recall - current) < (current - l_recall) and i < len(v) - 1:
+            continue
+        out.append(s)
+        current += 1.0 / (N_SAMPLE_PTS - 1.0)
+    return out
+
+
+def _ap_r40(precision_at_thresholds: Sequence[float]) -> float:
+    """Zero-padded 41-point average with the monotone envelope, dropping
+    the recall-0 sample (the devkit's get_mAP_R40)."""
+    prec = np.zeros(N_SAMPLE_PTS)
+    k = min(len(precision_at_thresholds), N_SAMPLE_PTS)
+    prec[:k] = np.asarray(precision_at_thresholds[:k], float)
+    for i in range(len(prec) - 2, -1, -1):
+        prec[i] = max(prec[i], prec[i + 1])
+    return float(prec[1:].sum() / (N_SAMPLE_PTS - 1.0))
 
 
 def evaluate_detections(gt_per_image: Sequence[Sequence[KittiObject]],
                         det_per_image: Sequence[Sequence[KittiObject]],
                         cls: str = "Car", iou_thresh: float = 0.7,
-                        difficulty: str = "moderate") -> Dict[str, float]:
-    """AP (R40) for 2D bbox / BEV / 3D at the given difficulty."""
+                        difficulty: str = "moderate",
+                        metrics: Sequence[str] = ("bbox", "bev", "3d"),
+                        ) -> Dict[str, float]:
+    """AP (R40) for 2D bbox / BEV / 3D at the given difficulty, via the
+    official per-threshold protocol. `metrics` restricts which IoU kinds
+    are computed (the rotated BEV/3D IoU is the expensive part on large
+    synthetic sets). AOS rides the 2D-bbox matching, per the official
+    convention.
+
+    Note the official R40 zero-pads its 41 recall samples: sets with few
+    counted gts cannot fill the sweep and report AP << precision by
+    design — identical to what the reference's eval tool prints.
+    """
     diff = Difficulty(difficulty)
+    min_h = diff.gates[0]
     result = {}
-    for metric in ("bbox", "bev", "3d"):
-        all_scores, all_tps, all_sims, total_gt = [], [], [], 0
+    for metric in metrics:
+        images = []
         for gts, dets in zip(gt_per_image, det_per_image):
             dets_c = [d for d in dets if d.type == cls]
             status = _gt_status(gts, cls, diff)
-            dontcare = np.asarray([g.bbox for g in gts
-                                   if g.type == "DontCare"]) \
+            det_small = np.asarray(
+                [(d.bbox[3] - d.bbox[1]) < min_h for d in dets_c], bool)
+            dontcare = [g.bbox for g in gts if g.type == "DontCare"] \
                 if metric == "bbox" else None
             if metric == "bbox":
                 ious = _iou_2d(np.asarray([g.bbox for g in gts]).reshape(-1, 4),
@@ -221,18 +280,28 @@ def evaluate_detections(gt_per_image: Sequence[Sequence[KittiObject]],
                 ious = _iou_bev(gts, dets_c)
             else:
                 ious = _iou_3d(gts, dets_c)
-            s, t, sim, n = _match_image(gts, dets_c, ious, status, dontcare,
-                                        iou_thresh,
-                                        min_height=diff.gates[0])
-            all_scores += s
-            all_tps += t
-            all_sims += sim
-            total_gt += n
-        result[f"ap_{metric}"] = _ap_r40(all_scores, all_tps, total_gt)
-        if metric == "bbox":
-            # AOS rides the 2D-bbox matching (the official convention)
-            result["ap_aos"] = _ap_r40(all_scores, all_tps, total_gt,
-                                       sims=all_sims)
+            images.append(_Image(gts, dets_c, ious, status, det_small,
+                                 dontcare))
+        total_gt = sum(im.n_gt for im in images)
+        tp_scores = [s for im in images
+                     for s in _first_pass_tp_scores(im, iou_thresh)]
+        thresholds = _recall_thresholds(tp_scores, max(total_gt, 1))
+        compute_aos = metric == "bbox"
+        prec, aos = [], []
+        for t in thresholds:
+            tp = fp = 0
+            sim = 0.0
+            for im in images:
+                r = _stats_at_threshold(im, iou_thresh, t, compute_aos)
+                tp += r[0]
+                fp += r[1]
+                sim += r[2]
+            denom = max(tp + fp, 1)
+            prec.append(tp / denom)
+            aos.append(sim / denom)
+        result[f"ap_{metric}"] = _ap_r40(prec)
+        if compute_aos:
+            result["ap_aos"] = _ap_r40(aos)
     return result
 
 
@@ -267,7 +336,7 @@ def evaluate_full_table(gt_per_image, det_per_image,
     reference's eval hook (/root/reference/attack/DSGN/
     predict_and_save_pgd.py:287-301 shells out to print exactly this).
 
-    Returns {cls: {difficulty: {ap_bbox, ap_bev, ap_3d}}}.
+    Returns {cls: {difficulty: {ap_bbox, ap_aos, ap_bev, ap_3d}}}.
     """
     table: Dict[str, Dict] = {}
     for cls in classes:

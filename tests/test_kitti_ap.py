@@ -1,4 +1,13 @@
-"""KITTI AP evaluator: perfect/missed/spurious detections, difficulty gates."""
+"""KITTI AP evaluator: perfect/missed/spurious detections, difficulty gates.
+
+The evaluator implements the official devkit protocol, whose R40 AP
+zero-pads a 41-point recall sweep — a handful of gts can only fill a few
+recall samples, making single-scene AP degenerate BY DESIGN (the real
+evaluator behaves the same on tiny sets). Each scene is therefore
+replicated enough times (`_rep`) for perfect detection to fill the sweep,
+so the semantic claims (perfect -> 1.0, half recall -> ~0.5, ...) hold in
+the regime the official algorithm is defined for.
+"""
 import numpy as np
 import pytest
 
@@ -16,12 +25,17 @@ def _obj(typ="Car", bbox=(100, 100, 200, 160), score=None, occ=0, trunc=0.0,
                        score=score)
 
 
+def _rep(per_image, n=50):
+    """Replicate a list of images n times (fills the 41 recall samples)."""
+    return [list(img) for img in per_image for _ in range(n)]
+
+
 @pytest.mark.slow
 def test_perfect_detections_ap_one():
     gt = [[_obj(), _obj(bbox=(300, 80, 380, 140), loc=(-3.0, 1.6, 20.0))]]
     det = [[_obj(score=0.9), _obj(bbox=(300, 80, 380, 140),
                                   loc=(-3.0, 1.6, 20.0), score=0.8)]]
-    r = evaluate_detections(gt, det)
+    r = evaluate_detections(_rep(gt), _rep(det))
     assert r["ap_bbox"] == 1.0
     assert r["ap_bev"] == 1.0
     assert r["ap_3d"] == 1.0
@@ -31,7 +45,7 @@ def test_perfect_detections_ap_one():
 def test_missed_detection_halves_recall():
     gt = [[_obj(), _obj(bbox=(300, 80, 380, 140), loc=(-3.0, 1.6, 20.0))]]
     det = [[_obj(score=0.9)]]
-    r = evaluate_detections(gt, det)
+    r = evaluate_detections(_rep(gt), _rep(det), metrics=("bbox",))
     assert 0.45 <= r["ap_bbox"] <= 0.55
 
 
@@ -40,15 +54,15 @@ def test_spurious_detection_lowers_precision():
     gt = [[_obj()]]
     det = [[_obj(score=0.9),
             _obj(bbox=(500, 100, 600, 160), loc=(8.0, 1.6, 15.0), score=0.95)]]
-    r = evaluate_detections(gt, det)
-    assert r["ap_bbox"] < 1.0
+    r = evaluate_detections(_rep(gt), _rep(det), metrics=("bbox",))
+    assert 0.0 < r["ap_bbox"] < 1.0
 
 
 @pytest.mark.slow
 def test_shifted_3d_box_fails_3d_but_passes_2d():
     gt = [[_obj()]]
     det = [[_obj(score=0.9, loc=(4.5, 1.6, 15.0))]]   # 2.5 m lateral error
-    r = evaluate_detections(gt, det)
+    r = evaluate_detections(_rep(gt), _rep(det))
     assert r["ap_bbox"] == 1.0
     assert r["ap_3d"] == 0.0
 
@@ -57,13 +71,13 @@ def test_difficulty_gate_ignores_small_gt():
     # 20px-high gt is beyond even 'hard'; detecting nothing is perfect=0 gts
     gt = [[_obj(bbox=(100, 100, 140, 120))]]
     det = [[]]
-    r = evaluate_detections(gt, det, difficulty="moderate")
+    r = evaluate_detections(_rep(gt), _rep(det), difficulty="moderate",
+                            metrics=("bbox",))
     assert r["ap_bbox"] == 0.0          # zero counted gts -> AP defined as 0
     # and a det matching the ignored gt must not count as a false positive
-    det2 = [[_obj(bbox=(100, 100, 140, 120), score=0.9)]]
     gt2 = [[_obj(), _obj(bbox=(100, 100, 140, 120))]]
     det_both = [[_obj(score=0.8), _obj(bbox=(100, 100, 140, 120), score=0.9)]]
-    r2 = evaluate_detections(gt2, det_both)
+    r2 = evaluate_detections(_rep(gt2), _rep(det_both), metrics=("bbox",))
     assert r2["ap_bbox"] == 1.0
 
 
@@ -71,7 +85,7 @@ def test_dontcare_region_absorbs_detections():
     gt = [[_obj(), _obj(typ="DontCare", bbox=(500, 100, 600, 160))]]
     det = [[_obj(score=0.9),
             _obj(bbox=(505, 105, 595, 155), score=0.95)]]  # inside DontCare
-    r = evaluate_detections(gt, det)
+    r = evaluate_detections(_rep(gt), _rep(det), metrics=("bbox",))
     assert r["ap_bbox"] == 1.0
 
 
@@ -80,14 +94,17 @@ def test_van_ignored_for_car_class():
                         loc=(-3.0, 1.6, 20.0))]]
     det = [[_obj(score=0.9), _obj(bbox=(300, 80, 380, 140),
                                   loc=(-3.0, 1.6, 20.0), score=0.8)]]
-    r = evaluate_detections(gt, det)
+    r = evaluate_detections(_rep(gt), _rep(det), metrics=("bbox",))
     assert r["ap_bbox"] == 1.0          # Van match is neither tp nor fp
 
 
 def test_ap_r40_basic():
-    assert _ap_r40([0.9, 0.8], [True, True], 2) == 1.0
-    assert _ap_r40([], [], 2) == 0.0
-    assert 0.4 < _ap_r40([0.9, 0.8], [True, False], 2) < 0.6
+    # all 41 recall samples at precision 1 -> AP 1; none -> 0; half -> ~0.5
+    assert _ap_r40([1.0] * 41) == 1.0
+    assert _ap_r40([]) == 0.0
+    assert 0.45 < _ap_r40([1.0] * 21) < 0.55
+    # monotone envelope: a dip is lifted by the later maximum
+    assert _ap_r40([0.2, 1.0] + [1.0] * 39) == 1.0
 
 
 def test_small_detection_is_ignored_not_fp():
@@ -96,7 +113,8 @@ def test_small_detection_is_ignored_not_fp():
     det = [[_obj(score=0.9),
             _obj(bbox=(500, 100, 540, 118), score=0.95,   # 18px tall
                  loc=(8.0, 1.6, 40.0))]]
-    r = evaluate_detections(gt, det, difficulty="moderate")
+    r = evaluate_detections(_rep(gt), _rep(det), difficulty="moderate",
+                            metrics=("bbox",))
     assert r["ap_bbox"] == 1.0
 
 
@@ -106,7 +124,7 @@ def test_dontcare_inter_over_det_area():
     gt = [[_obj(), _obj(typ="DontCare", bbox=(500, 100, 560, 160))]]
     det = [[_obj(score=0.9),
             _obj(bbox=(505, 105, 555, 155), score=0.95)]]  # inside DontCare
-    r = evaluate_detections(gt, det)
+    r = evaluate_detections(_rep(gt), _rep(det), metrics=("bbox",))
     assert r["ap_bbox"] == 1.0
 
 
@@ -119,7 +137,7 @@ def test_full_table_difficulty_progression():
     gt = [[_obj(), _obj(bbox=(300, 80, 380, 140), loc=(-3.0, 1.6, 20.0),
                         occ=2)]]
     det = [[_obj(score=0.9)]]         # only the easy gt detected
-    table = evaluate_full_table(gt, det, classes=("Car",))
+    table = evaluate_full_table(_rep(gt), _rep(det), classes=("Car",))
     assert set(table["Car"]) == {"easy", "moderate", "hard"}
     assert table["Car"]["easy"]["ap_bbox"] == 1.0
     assert table["Car"]["moderate"]["ap_bbox"] == 1.0
@@ -139,7 +157,8 @@ def test_full_table_multiclass_thresholds():
                    dims=(1.8, 0.6, 0.8), score=0.9)   # IoU = 32/48 = 0.67
     car_gt = _obj(bbox=(300, 100, 400, 160))
     car_det = _obj(bbox=(320, 100, 420, 160), score=0.9)  # IoU = 80/120
-    table = evaluate_full_table([[ped_gt, car_gt]], [[ped_det, car_det]],
+    table = evaluate_full_table(_rep([[ped_gt, car_gt]]),
+                                _rep([[ped_det, car_det]]),
                                 classes=("Car", "Pedestrian"))
     assert table["Pedestrian"]["moderate"]["ap_bbox"] == 1.0  # 0.67 >= 0.5
     assert table["Car"]["moderate"]["ap_bbox"] == 0.0         # 0.67 < 0.7
@@ -152,7 +171,7 @@ def test_aos_perfect_orientation_equals_ap():
     gt = [[_obj(), _obj(bbox=(300, 80, 380, 140), loc=(-3.0, 1.6, 20.0))]]
     det = [[_obj(score=0.9), _obj(bbox=(300, 80, 380, 140),
                                   loc=(-3.0, 1.6, 20.0), score=0.8)]]
-    r = evaluate_detections(gt, det)
+    r = evaluate_detections(_rep(gt), _rep(det), metrics=("bbox",))
     assert r["ap_aos"] == r["ap_bbox"] == 1.0
 
 
@@ -162,7 +181,7 @@ def test_aos_opposite_orientation_zero():
     d = _obj(score=0.9)
     d.alpha = np.pi
     det = [[d]]
-    r = evaluate_detections(gt, det)
+    r = evaluate_detections(_rep(gt), _rep(det), metrics=("bbox",))
     assert r["ap_bbox"] == 1.0
     assert r["ap_aos"] == 0.0
 
@@ -172,15 +191,16 @@ def test_aos_quarter_turn_half_similarity():
     d = _obj(score=0.9)
     d.alpha = np.pi / 2
     det = [[d]]
-    r = evaluate_detections(gt, det)
+    r = evaluate_detections(_rep(gt), _rep(det), metrics=("bbox",))
     assert abs(r["ap_aos"] - 0.5 * r["ap_bbox"]) < 1e-6
 
 
 def test_aos_fp_drags_similarity_below_ap():
-    """An extra false positive lowers AOS like it lowers precision."""
+    """False positives lower AOS exactly like they lower precision when
+    every TP's orientation is exact."""
     gt = [[_obj()]]
     det = [[_obj(score=0.9),
             _obj(bbox=(500, 100, 600, 160), loc=(8.0, 1.6, 15.0),
                  score=0.95)]]
-    r = evaluate_detections(gt, det)
+    r = evaluate_detections(_rep(gt), _rep(det), metrics=("bbox",))
     assert r["ap_aos"] == r["ap_bbox"] < 1.0
