@@ -301,14 +301,16 @@ def bench_dsgn_e2e_sweep(tiny: bool, n_frames: int = 12,
     import shutil
     import tempfile
 
+    import concurrent.futures as cf
+
     from eval_driving_safety_tpu.attack.pgd import pgd_attack
     from eval_driving_safety_tpu.config import DSGNConfig
     from eval_driving_safety_tpu.data.dataset import (AsyncImageWriter,
                                                       KittiStereoDataset,
                                                       dsgn_boxes3d,
-                                                      prepare_dsgn_batch,
-                                                      quantize_01_u8,
-                                                      save_attacked_images)
+                                                      prepare_dsgn_batch_u8,
+                                                      save_sweep_from_signs,
+                                                      u8_to_01)
     from eval_driving_safety_tpu.models.dsgn import DSGN
     from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
 
@@ -316,62 +318,72 @@ def bench_dsgn_e2e_sweep(tiny: bool, n_frames: int = 12,
     model = DSGN(cfg)
     mean = np.asarray(cfg.input.mean)
     std = np.asarray(cfg.input.std)
+    kw = dict(alpha=1 / 255., eps=0.3, clip_min=0.0, clip_max=1.0)
     root = tempfile.mkdtemp(prefix="bench_kitti_")
     out = tempfile.mkdtemp(prefix="bench_sweep_")
     try:
         _make_synthetic_kitti(root, n_frames, h=96 if tiny else 375,
                               w=320 if tiny else 1242)
-        ds = KittiStereoDataset(root)
+        ds = KittiStereoDataset(root, dtype="uint8")
 
         @jax.jit
-        def attack(params, il, ir, calib, depth, boxes, nb):
+        def attack(params, il_u8, ir_u8, calib, boxes, nb):
+            # transfer-minimal: u8 pixels up, 2-bit packed signs down;
+            # absent depth gt is device-born zeros (cli.pgd_attack does
+            # the same three things)
+            il, ir = u8_to_01(il_u8), u8_to_01(ir_u8)
+            depth = jnp.zeros(il.shape[:3], jnp.float32)
+
             def loss_fn(l, r):
                 o = model.apply(params, (l - mean) / std, (r - mean) / std,
                                 *calib)
                 return dsgn_total_loss(o, depth, boxes, nb, cfg)[0]
             res = pgd_attack(loss_fn, il, ir, num_iters=n_iters,
-                             alpha=1 / 255., eps=0.3, clip_min=0.0,
-                             clip_max=1.0, collect=True)
-            return res.losses, (quantize_01_u8(res.trajectory[0]),
-                                quantize_01_u8(res.trajectory[1]))
+                             collect="signs", **kw)
+            return res.losses, res.trajectory
+
+        replayer = cf.ThreadPoolExecutor(max_workers=2)
+        pending = []
+        ident = lambda x: x
 
         def run_batch(samples, writer):
-            b = prepare_dsgn_batch(samples, cfg.input)
+            b = prepare_dsgn_batch_u8(samples, cfg.input)
             g = dsgn_boxes3d(samples)
             calib = tuple(jnp.asarray(b[k]) for k in
                           ("f_u", "baseline", "c_u", "c_v"))
-            losses, traj = attack(params, jnp.asarray(b["im_left_01"]),
-                                  jnp.asarray(b["im_right_01"]), calib,
-                                  jnp.asarray(b["depth_gt"]),
+            losses, traj = attack(params, jnp.asarray(b["im_left_u8"]),
+                                  jnp.asarray(b["im_right_u8"]), calib,
                                   jnp.asarray(g["boxes3d"]),
                                   jnp.asarray(g["num_boxes"]))
             if writer is None:
-                np.asarray(traj[0])        # warmup: force the full fetch
+                np.asarray(traj[0])        # warmup: force the fetch
                 return
-            ident = lambda x: x
-            save_attacked_images(b, b["im_left_01"], b["im_right_01"],
-                                 os.path.join(out, "dsgn_pgd_iters_0"),
-                                 ident, writer=writer)
-            for k in range(n_iters):
-                save_attacked_images(
-                    b, traj[0][k], traj[1][k],
-                    os.path.join(out, f"dsgn_pgd_iters_{k + 1}"),
-                    ident, writer=writer)
+
+            def job(b=b, pl=traj[0], pr=traj[1]):
+                save_sweep_from_signs(
+                    b, u8_to_01(b["im_left_u8"]), u8_to_01(b["im_right_u8"]),
+                    pl, pr, os.path.join(out, "dsgn_pgd"), ident, writer,
+                    clean_save=(b["im_left_u8"], b["im_right_u8"]), **kw)
+            pending.append(replayer.submit(job))
 
         first = [ds.get(0)]
-        b0 = prepare_dsgn_batch(first, cfg.input)
+        b0 = prepare_dsgn_batch_u8(first, cfg.input)
         calib0 = tuple(jnp.asarray(b0[k])
                        for k in ("f_u", "baseline", "c_u", "c_v"))
+        norm0 = (u8_to_01(b0["im_left_u8"]) - mean) / std
         params = jax.jit(model.init)(
-            jax.random.PRNGKey(0), jnp.asarray(b0["im_left"]),
-            jnp.asarray(b0["im_right"]), *calib0)
+            jax.random.PRNGKey(0), jnp.asarray(norm0),
+            jnp.asarray(norm0), *calib0)
         run_batch(first, None)             # compile warmup, untimed
 
         t0 = time.perf_counter()
         writer = AsyncImageWriter(workers=2, compress_level=0)
         for samples in ds.batches(1, prefetch=2, io_workers=4):
             run_batch(samples, writer)
+        for f in pending:
+            f.result()
         writer.close()
+        replayer.shutdown()
         return n_frames / (time.perf_counter() - t0)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -23,11 +23,12 @@ def add_dataset_args(p: argparse.ArgumentParser):
                         "(the reference's smoke-test knob)")
 
 
-def make_dataset(args):
+def make_dataset(args, dtype: str = "float32"):
     from eval_driving_safety_tpu.data.dataset import KittiStereoDataset
     ds = KittiStereoDataset(
         args.data_path, split_file=args.split_file,
-        image_2_dir=args.image_2_dir, image_3_dir=args.image_3_dir)
+        image_2_dir=args.image_2_dir, image_3_dir=args.image_3_dir,
+        dtype=dtype)
     if args.debug:
         ds.ids = ds.ids[: args.debugnum]
     return ds

@@ -58,6 +58,12 @@ def parse_args():
                         "resumable, SURVEY.md §5)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax.debug_nans for the sweep")
+    p.add_argument("--transfer", choices=("signs", "full"), default="signs",
+                   help="device->host strategy for the saved sweep: "
+                        "'signs' fetches 2-bit packed gradient signs and "
+                        "replays the update rule on the host (bit-exact, "
+                        "16x less link traffic — the default); 'full' "
+                        "fetches quantized iterates (dsgn only for now)")
     p.add_argument("--objective", default="total",
                    choices=("total", "depth_divergence", "depth_shift"),
                    help="dsgn attack objective (attack.objectives; "
@@ -95,25 +101,21 @@ def _already_done(prefix: str, n_iters: int, frame_ids) -> bool:
 def run_dsgn(args):
     from eval_driving_safety_tpu.attack.pgd import pgd_attack
     from eval_driving_safety_tpu.data.dataset import (
-        dsgn_boxes3d, prepare_dsgn_batch, save_attacked_images)
+        dsgn_boxes3d, prepare_dsgn_batch_u8, save_attacked_images,
+        save_sweep_from_signs, u8_to_01)
     cfg = make_dsgn_cfg(args)
     model, params = make_dsgn_model(args, cfg)
     alpha = args.alpha if args.alpha is not None else 1.0 / 255.0
     eps = args.eps if args.eps is not None else 0.3
     prefix = args.out_prefix or "dsgn_pgd"
-    ds = make_dataset(args)
+    signs = args.transfer == "signs"
+    # both transfer modes ingest RAW u8 and convert on device: the clean
+    # pair is exactly the loaded pixels (a host-normalized float upload
+    # denormalized on device is NOT bit-exact, and costs 4x the bytes)
+    ds = make_dataset(args, dtype="uint8")
     mean, std = np.asarray(cfg.input.mean), np.asarray(cfg.input.std)
 
-    # params passed as an argument: closing over concrete weights would
-    # bake them into the compiled program as constants (and overflow the
-    # remote compiler's request limit at full model size)
-    @jax.jit
-    def attack(params, batch_norm_l, batch_norm_r, calib, depth_gt, boxes3d,
-               num_boxes):
-        # attack space = [0,1] RGB; the loss normalizes internally
-        clean_l = batch_norm_l * std + mean
-        clean_r = batch_norm_r * std + mean
-
+    def make_loss(params, calib, depth_gt, boxes3d, num_boxes):
         def loss_fn(il01, ir01):
             from eval_driving_safety_tpu.attack import objectives as O
             out = model.apply(params, (il01 - mean) / std,
@@ -123,10 +125,26 @@ def run_dsgn(args):
             if args.objective == "depth_shift":
                 return O.depth_shift(out, depth_gt, args.depth_shift_m, cfg)
             return O.total_loss(out, depth_gt, boxes3d, num_boxes, cfg)
+        return loss_fn
 
-        res = pgd_attack(loss_fn, clean_l, clean_r, num_iters=args.iter,
+    # params passed as an argument: closing over concrete weights would
+    # bake them into the compiled program as constants (and overflow the
+    # remote compiler's request limit at full model size)
+    @jax.jit
+    def attack(params, il_u8, ir_u8, calib, depth_gt, boxes3d, num_boxes):
+        # attack space = [0,1] RGB; on-device u8 -> [0,1] is bit-identical
+        # to the host's image load (tests/test_pgd_signs.py). With
+        # transfer="signs" only 2-bit packed gradient signs come back and
+        # the host replays the update rule (bit-exact) — 16-32x less link
+        # traffic per frame than fetching quantized iterates
+        clean_l, clean_r = u8_to_01(il_u8), u8_to_01(ir_u8)
+        res = pgd_attack(make_loss(params, calib, depth_gt, boxes3d,
+                                   num_boxes),
+                         clean_l, clean_r, num_iters=args.iter,
                          alpha=alpha, eps=eps, clip_min=0.0, clip_max=1.0,
-                         collect=True)
+                         collect="signs" if signs else True)
+        if signs:
+            return res.losses, res.trajectory
         # quantize the saved trajectory on device: 4x less data through
         # the device->host link, identical pixels (data.dataset helpers)
         from eval_driving_safety_tpu.data.dataset import quantize_01_u8
@@ -134,41 +152,68 @@ def run_dsgn(args):
                             quantize_01_u8(res.trajectory[1]))
 
     writer = make_writer(args)
+    import concurrent.futures as cf
+    replayer = cf.ThreadPoolExecutor(max_workers=2) if signs else None
+    pending = []
+    ident = lambda x: x
+
+    def submit_replay(b, pl, pr):
+        def job():
+            save_sweep_from_signs(
+                b, u8_to_01(b["im_left_u8"]), u8_to_01(b["im_right_u8"]),
+                pl, pr, prefix, ident, writer,
+                alpha=alpha, eps=eps, clip_min=0.0, clip_max=1.0,
+                clean_save=(b["im_left_u8"], b["im_right_u8"]))
+        pending.append(replayer.submit(job))
+
     try:
         for samples in ds.batches(args.batch, prefetch=args.prefetch,
                                   io_workers=args.io_workers):
             if args.resume and _already_done(prefix, args.iter,
                                              [s.frame_id for s in samples]):
                 continue
-            b = prepare_dsgn_batch(samples, cfg.input,
-                                   depth_dir=args.depth_dir)
+            b = prepare_dsgn_batch_u8(samples, cfg.input,
+                                      depth_dir=args.depth_dir)
             g = dsgn_boxes3d(samples)
+            im_l, im_r = b["im_left_u8"], b["im_right_u8"]
             if params is None:
+                norm1 = (u8_to_01(im_l[:1]) - mean) / std
+                norm2 = (u8_to_01(im_r[:1]) - mean) / std
                 params = load_params(model, lambda: model.init(
-                    jax.random.PRNGKey(0), jnp.asarray(b["im_left"][:1]),
-                    jnp.asarray(b["im_right"][:1]),
+                    jax.random.PRNGKey(0), jnp.asarray(norm1),
+                    jnp.asarray(norm2),
                     jnp.asarray(b["f_u"][:1]),
                     jnp.asarray(b["baseline"][:1]),
                     jnp.asarray(b["c_u"][:1]), jnp.asarray(b["c_v"][:1])),
                     args.ckpt)
             sh = _shard_arrays({
-                "il": b["im_left"], "ir": b["im_right"],
+                "il": im_l, "ir": im_r,
                 "calib": tuple(jnp.asarray(b[k]) for k in
                                ("f_u", "baseline", "c_u", "c_v")),
-                "depth": b["depth_gt"], "boxes": g["boxes3d"],
-                "nb": g["num_boxes"]})
+                # absent depth gt is all-zero: create it ON DEVICE instead
+                # of pushing zero bytes through the host->device link
+                "depth": jnp.zeros(b["depth_gt"].shape, jnp.float32)
+                if args.depth_dir is None else b["depth_gt"],
+                "boxes": g["boxes3d"], "nb": g["num_boxes"]})
             losses, traj = attack(params, sh["il"], sh["ir"], sh["calib"],
                                   sh["depth"], sh["boxes"], sh["nb"])
-            ident = lambda x: x
-            save_attacked_images(b, b["im_left_01"], b["im_right_01"],
-                                 f"{prefix}_iters_0", ident, writer=writer)
-            for k in range(args.iter):
-                save_attacked_images(b, traj[0][k], traj[1][k],
-                                     f"{prefix}_iters_{k + 1}", ident,
+            if signs:
+                submit_replay(b, traj[0], traj[1])
+            else:
+                save_attacked_images(b, im_l, im_r,
+                                     f"{prefix}_iters_0", ident,
                                      writer=writer)
+                for k in range(args.iter):
+                    save_attacked_images(b, traj[0][k], traj[1][k],
+                                         f"{prefix}_iters_{k + 1}", ident,
+                                         writer=writer)
             log(f"{b['frame_ids']}: losses "
                 f"{np.asarray(losses).round(3).tolist()}")
     finally:
+        for f in pending:
+            f.result()
+        if replayer is not None:
+            replayer.shutdown()
         if writer is not None:
             writer.close()
 

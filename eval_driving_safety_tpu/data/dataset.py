@@ -34,8 +34,8 @@ from eval_driving_safety_tpu.data import kitti as K
 @dataclass
 class KittiSample:
     frame_id: str
-    im_left: np.ndarray           # (H, W, 3) float32 RGB [0,1]
-    im_right: np.ndarray
+    im_left: np.ndarray           # (H, W, 3) RGB: float32 [0,1], or uint8
+    im_right: np.ndarray          # when the dataset was opened dtype=uint8
     calib: K.Calibration
     objects: List[K.KittiObject]
     orig_hw: tuple
@@ -50,8 +50,14 @@ class KittiStereoDataset:
                  image_2_dir: Optional[str] = None,
                  image_3_dir: Optional[str] = None,
                  label_dir: Optional[str] = None,
-                 calib_dir: Optional[str] = None):
+                 calib_dir: Optional[str] = None,
+                 dtype: str = "float32"):
+        """dtype="uint8" keeps samples as raw decoded bytes — the
+        transfer-minimal attack pipeline uploads them as-is and converts
+        on device (im01 == u8/255 bit-exactly, tests/test_pgd_signs.py);
+        it also skips a host float pass per decode."""
         self.root = root
+        self.dtype = dtype
         self.image_2_dir = image_2_dir or os.path.join(root, "image_2")
         self.image_3_dir = image_3_dir or os.path.join(root, "image_3")
         self.label_dir = label_dir or os.path.join(root, "label_2")
@@ -78,8 +84,9 @@ class KittiStereoDataset:
 
     def get(self, i: int) -> KittiSample:
         fid = self.ids[i]
-        im_l = K.load_image(self._img_path(self.image_2_dir, fid))
-        im_r = K.load_image(self._img_path(self.image_3_dir, fid))
+        load = K.load_image_u8 if self.dtype == "uint8" else K.load_image
+        im_l = load(self._img_path(self.image_2_dir, fid))
+        im_r = load(self._img_path(self.image_3_dir, fid))
         calib_path = os.path.join(self.calib_dir, fid + ".txt")
         calib = K.read_calib(calib_path) if os.path.exists(calib_path) \
             else K.Calibration.default()
@@ -170,6 +177,67 @@ def prepare_dsgn_batch(samples: Sequence[KittiSample],
         "calibs": [s.calib for s in samples],
         "objects": [s.objects for s in samples],
     }
+
+
+def prepare_dsgn_batch_u8(samples: Sequence[KittiSample],
+                          cfg: DSGNInputConfig = DSGNInputConfig(),
+                          depth_dir: Optional[str] = None) -> Dict:
+    """Transfer-minimal DSGN batch: padded RAW uint8 pixels (4x less
+    host->device traffic than the float path; the device converts with
+    u8/255, bit-identical to `prepare_dsgn_batch`'s im_*_01 — asserted in
+    tests/test_pgd_signs.py). Emits the same calib/depth/meta fields."""
+    b = len(samples)
+    h, w = cfg.height, cfg.width
+    il = np.zeros((b, h, w, 3), np.uint8)
+    ir = np.zeros((b, h, w, 3), np.uint8)
+    depth = np.zeros((b, h, w), np.float32)
+    fu = np.zeros((b,), np.float32)
+    bl = np.zeros((b,), np.float32)
+    cu = np.zeros((b,), np.float32)
+    cv = np.zeros((b,), np.float32)
+    for i, s in enumerate(samples):
+        l, r = s.im_left, s.im_right
+        if l.dtype != np.uint8:        # float dataset: recover exact bytes
+            l = np.rint(l * 255.0).astype(np.uint8)
+            r = np.rint(r * 255.0).astype(np.uint8)
+        il[i] = K.pad_to(l, h, w)
+        ir[i] = K.pad_to(r, h, w)
+        fu[i] = s.calib.f_u
+        bl[i] = s.calib.baseline
+        cu[i] = s.calib.c_u
+        cv[i] = s.calib.c_v
+        if depth_dir:
+            p = os.path.join(depth_dir, s.frame_id + ".npy")
+            if os.path.exists(p):
+                depth[i] = K.pad_to(np.load(p).astype(np.float32), h, w)
+    return {
+        "im_left_u8": il, "im_right_u8": ir,
+        "f_u": fu, "baseline": bl, "c_u": cu, "c_v": cv,
+        "depth_gt": depth,
+        "frame_ids": [s.frame_id for s in samples],
+        "orig_hw": [s.orig_hw for s in samples],
+        "calibs": [s.calib for s in samples],
+        "objects": [s.objects for s in samples],
+    }
+
+
+def u8_to_01(x):
+    """uint8 pixels -> float32 [0,1], bit-identical to kitti.load_image's
+    host floats on EVERY backend.
+
+    On numpy inputs this is the load formula itself (u8/255). Under jax
+    it is a 256-entry table gather: the table is computed on the HOST with
+    numpy's correctly-rounded division, so the device result is exact by
+    construction — TPU f32 division is NOT IEEE-identical to numpy for
+    some byte values (caught by
+    tests/test_pgd_signs.py::test_device_u8_ingest_matches_host_load_exhaustive),
+    and the sign-replay contract needs the device clean pair to equal the
+    host's bitwise."""
+    if isinstance(x, np.ndarray):
+        return x.astype(np.float32) / 255.0
+    import jax.numpy as jnp
+    table = jnp.asarray(np.arange(256, dtype=np.float32) / 255.0)
+    return jnp.take(table, x.astype(jnp.int32))
 
 
 def dsgn_boxes3d(samples: Sequence[KittiSample], max_boxes: int = 16) -> Dict:
@@ -325,6 +393,31 @@ class AsyncImageWriter:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+def save_sweep_from_signs(batch: Dict, clean_l, clean_r, packed_l, packed_r,
+                          prefix: str, denorm, writer, *, alpha, eps,
+                          clip_min, clip_max, clean_save=None) -> None:
+    """Replay a packed sign trajectory (attack.pgd.replay_pgd — bit-exact
+    with the device iterates) and save every iteration's pair under
+    `{prefix}_iters_{k}/image_{2,3}/` (iteration 0 = clean), the
+    reference's sweep layout (/root/reference/attack/DSGN/
+    pgd_attack.py:357-374). Only the 2-bit packed signs cross the
+    device->host link (16x less than float iterates).
+
+    clean_l/clean_r: HOST attack-space float32 pair (the replay seeds).
+    clean_save: optional (left, right) override for the iteration-0 save
+    (e.g. the raw uint8 pixels, skipping a quantization pass)."""
+    from eval_driving_safety_tpu.attack.pgd import replay_pgd
+    cs_l, cs_r = clean_save if clean_save is not None else (clean_l, clean_r)
+    save_attacked_images(batch, cs_l, cs_r, f"{prefix}_iters_0", denorm,
+                         writer=writer)
+    pl, pr = np.asarray(packed_l), np.asarray(packed_r)
+    for k, (xl, xr) in enumerate(replay_pgd(
+            clean_l, clean_r, pl, pr, alpha=alpha, eps=eps,
+            clip_min=clip_min, clip_max=clip_max)):
+        save_attacked_images(batch, xl, xr, f"{prefix}_iters_{k + 1}",
+                             denorm, writer=writer)
 
 
 def save_attacked_images(batch: Dict, adv_left, adv_right, out_dir: str,

@@ -234,6 +234,22 @@ def load_image(path: str) -> np.ndarray:
     return np.asarray(im, dtype=np.float32) / 255.0
 
 
+def load_image_u8(path: str) -> np.ndarray:
+    """Load PNG/JPG as uint8 RGB, shape (H,W,3) — the raw decode behind
+    `load_image` (whose [0,1] floats are exactly this / 255). The
+    transfer-minimal attack path uploads these bytes and divides on device
+    (4x less host->device traffic, bit-identical floats — asserted
+    exhaustively in tests/test_pgd_signs.py)."""
+    cv2 = _cv2()
+    if cv2 is not None:
+        bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+        if bgr is not None:
+            return np.ascontiguousarray(bgr[..., ::-1])
+    from PIL import Image
+    im = Image.open(path).convert("RGB")
+    return np.asarray(im, dtype=np.uint8)
+
+
 def save_image(path: str, img01: np.ndarray, crop_hw: Optional[tuple] = None,
                compress_level: int = 6) -> None:
     """Save float [0,1] RGB array as PNG, optionally cropping to the original

@@ -68,6 +68,30 @@ def test_pgd_attack_cli_dsgn(kitti_root, tmp_path):
 
 
 @pytest.mark.slow
+def test_pgd_attack_cli_transfer_modes_identical(kitti_root, tmp_path):
+    """--transfer signs (2-bit packed signs + host replay, the default)
+    writes BYTE-IDENTICAL sweep PNGs to --transfer full (quantized device
+    iterates) — the bit-exactness contract of attack.pgd.replay_pgd at the
+    CLI surface."""
+    outs = {}
+    for mode in ("signs", "full"):
+        out = tmp_path / mode
+        run_cli("pgd_attack", "--detector", "dsgn", "--tiny",
+                "--data_path", str(kitti_root), "--iter", "2",
+                "--transfer", mode,
+                "--out_prefix", str(out / "dsgn_pgd"), "--debug",
+                "--debugnum", "1")
+        outs[mode] = out
+    for k in (0, 1, 2):
+        for sub in ("image_2", "image_3"):
+            a = outs["signs"] / f"dsgn_pgd_iters_{k}" / sub / "000001.png"
+            b = outs["full"] / f"dsgn_pgd_iters_{k}" / sub / "000001.png"
+            from eval_driving_safety_tpu.data.kitti import load_image
+            assert np.array_equal(load_image(str(a)), load_image(str(b))), \
+                f"iter {k} {sub} differs between transfer modes"
+
+
+@pytest.mark.slow
 def test_predict_cli_dsgn_with_ap(kitti_root, tmp_path):
     res = tmp_path / "results"
     out = run_cli("predict_and_save", "--detector", "dsgn", "--tiny",
