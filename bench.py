@@ -400,15 +400,16 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
     import shutil
     import tempfile
 
+    import concurrent.futures as cf
+
     from eval_driving_safety_tpu.attack.pgd import pgd_attack
     from eval_driving_safety_tpu.cli.common import make_srcnn_cfg
     from eval_driving_safety_tpu.data.dataset import (AsyncImageWriter,
                                                       KittiStereoDataset,
-                                                      prepare_srcnn_batch,
-                                                      quantize_srcnn_u8,
-                                                      save_attacked_images,
-                                                      srcnn_clip_bounds)
-    from eval_driving_safety_tpu.data.kitti import srcnn_to_rgb01
+                                                      prepare_srcnn_batch_u8,
+                                                      save_sweep_from_signs,
+                                                      srcnn_clean01_device,
+                                                      srcnn_clean01_host)
     from eval_driving_safety_tpu.models.stereo_rcnn import (
         StereoRCNN, make_gt_batch, total_attack_loss)
 
@@ -416,57 +417,65 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
     cfg = make_srcnn_cfg(SimpleNamespace(tiny=tiny),    # attack-CLI defaults
                          default_bf16=True, default_s2d=True)
     model = StereoRCNN(cfg)
-    clip_min, clip_max = srcnn_clip_bounds(cfg.input)
     uncert = jnp.zeros((6,))
     rng = jax.random.PRNGKey(11)
-    means = cfg.input.pixel_means_bgr
+    means = np.asarray(cfg.input.pixel_means_bgr, np.float32)
+    # BGR01 attack space (the exact u8 ingest; cli.pgd_attack run_srcnn)
+    kw = dict(alpha=np.float32(1.0 / 255.0), eps=np.float32(0.3),
+              clip_min=0.0, clip_max=1.0)
     root = tempfile.mkdtemp(prefix="bench_kitti_")
     out = tempfile.mkdtemp(prefix="bench_sweep_")
     try:
         _make_synthetic_kitti(root, n_frames, h=96 if tiny else 375,
                               w=320 if tiny else 1242)
-        ds = KittiStereoDataset(root)
+        ds = KittiStereoDataset(root, dtype="uint8")
 
         @jax.jit
-        def attack(params, clean_l, clean_r, gt):
-            def loss_fn(il, ir):
-                o = model.apply(params, il, ir, gt=gt, rng=rng,
+        def attack(params, il_u8, ir_u8, wargs, gt):
+            clean_l = srcnn_clean01_device(wargs, il_u8)
+            clean_r = srcnn_clean01_device(wargs, ir_u8)
+
+            def loss_fn(il01, ir01):
+                o = model.apply(params, il01 * 255.0 - means,
+                                ir01 * 255.0 - means, gt=gt, rng=rng,
                                 mode="attack")
                 return total_attack_loss(o.losses, uncert)
             res = pgd_attack(loss_fn, clean_l, clean_r, num_iters=n_iters,
-                             alpha=1.0, eps=255.0 * 0.3,
-                             clip_min=jnp.asarray(clip_min),
-                             clip_max=jnp.asarray(clip_max), collect=True)
-            return res.losses, (quantize_srcnn_u8(res.trajectory[0], means),
-                                quantize_srcnn_u8(res.trajectory[1], means))
+                             collect="signs", **kw)
+            return res.losses, res.trajectory
 
-        denorm = lambda x: srcnn_to_rgb01(x, means)
+        denorm = lambda x: x[..., ::-1]      # BGR01 -> RGB01
+        replayer = cf.ThreadPoolExecutor(max_workers=2)
+        pending = []
 
         def run_batch(samples, writer, params):
-            b = prepare_srcnn_batch(samples, cfg.input)
+            b = prepare_srcnn_batch_u8(samples, cfg.input)
             gt = make_gt_batch(b["objects"], b["calibs"], cfg,
                                image_scale=b["scales"])
+            wargs = {k: b[k] for k in ("ih", "iw", "den_h", "den_w",
+                                       "wmask", "c")}
             if params is None:
+                cl0, cr0 = srcnn_clean01_host(b)
                 params = jax.jit(lambda: model.init(
-                    jax.random.PRNGKey(0), jnp.asarray(b["im_left"]),
-                    jnp.asarray(b["im_right"]), gt=gt, rng=rng,
+                    jax.random.PRNGKey(0),
+                    jnp.asarray(cl0 * 255.0 - means),
+                    jnp.asarray(cr0 * 255.0 - means), gt=gt, rng=rng,
                     mode="attack"))()
                 from eval_driving_safety_tpu.models.common import \
                     cast_matmul_params
                 params = cast_matmul_params(params)
-            losses, traj = attack(params, jnp.asarray(b["im_left"]),
-                                  jnp.asarray(b["im_right"]), gt)
+            losses, traj = attack(params, jnp.asarray(b["im_left_u8"]),
+                                  jnp.asarray(b["im_right_u8"]), wargs, gt)
             if writer is None:
                 np.asarray(traj[0])
                 return params
-            save_attacked_images(b, b["im_left"], b["im_right"],
-                                 os.path.join(out, "srcnn_pgd_iters_0"),
-                                 denorm, writer=writer)
-            for k in range(n_iters):
-                save_attacked_images(
-                    b, traj[0][k], traj[1][k],
-                    os.path.join(out, f"srcnn_pgd_iters_{k + 1}"),
-                    lambda x: x, writer=writer)
+
+            def job(b=b, pl=traj[0], pr=traj[1]):
+                cl, cr = srcnn_clean01_host(b)
+                save_sweep_from_signs(b, cl, cr, pl, pr,
+                                      os.path.join(out, "srcnn_pgd"),
+                                      denorm, writer, **kw)
+            pending.append(replayer.submit(job))
             return params
 
         params = run_batch([ds.get(0)], None, None)   # compile, untimed
@@ -474,7 +483,10 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
         writer = AsyncImageWriter(workers=2, compress_level=0)
         for samples in ds.batches(1, prefetch=2, io_workers=4):
             run_batch(samples, writer, params)
+        for f in pending:
+            f.result()
         writer.close()
+        replayer.shutdown()
         return n_frames / (time.perf_counter() - t0)
     finally:
         shutil.rmtree(root, ignore_errors=True)

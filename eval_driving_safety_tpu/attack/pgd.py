@@ -35,29 +35,31 @@ import jax.numpy as jnp
 import numpy as np
 
 # 2-bit sign codes: sign s in {-1, 0, +1} -> code s+1 in {0, 1, 2};
-# 4 codes packed per byte along W (W % 4 == 0 for every supported config)
+# 4 codes per byte along the flattened (W, C) trailing axes — row-major
+# contiguous, so the host unpack is ONE 256-entry table gather with no
+# transpose (the unpack is on the sweep's host critical path)
 _PACK_WEIGHTS = (1, 4, 16, 64)
+_UNPACK_LUT = (np.stack([(np.arange(256) >> (2 * i)) & 3 for i in range(4)],
+                        axis=-1).astype(np.float32) - 1.0)     # (256, 4)
 
 
 def pack_signs(s):
-    """(..., W, C) f32/i8 signs in {-1,0,+1} -> (..., W//4, C) uint8."""
-    w = s.shape[-2]
-    if w % 4 != 0:
-        raise ValueError(f"W={w} not divisible by 4; pad the attack width")
-    code = (s + 1).astype(jnp.uint8)
-    code = code.reshape(*s.shape[:-2], w // 4, 4, s.shape[-1])
-    weights = jnp.asarray(_PACK_WEIGHTS, jnp.uint8).reshape(4, 1)
-    return (code * weights).sum(axis=-2).astype(jnp.uint8)
+    """(..., W, C) f32/i8 signs in {-1,0,+1} -> (..., W*C//4) uint8."""
+    w, c = s.shape[-2], s.shape[-1]
+    if (w * c) % 4 != 0:
+        raise ValueError(f"W*C={w * c} not divisible by 4; pad the width")
+    code = (s + 1).astype(jnp.uint8).reshape(*s.shape[:-2], (w * c) // 4, 4)
+    weights = jnp.asarray(_PACK_WEIGHTS, jnp.uint8)
+    return (code * weights).sum(axis=-1).astype(jnp.uint8)
 
 
-def unpack_signs(packed: np.ndarray) -> np.ndarray:
-    """Host inverse of pack_signs: (..., W//4, C) uint8 -> (..., W, C)
+def unpack_signs(packed: np.ndarray, channels: int = 3) -> np.ndarray:
+    """Host inverse of pack_signs: (..., W*C//4) uint8 -> (..., W, C)
     float32 signs in {-1, 0, +1}."""
     p = np.asarray(packed)
-    codes = np.stack([(p >> (2 * i)) & 3 for i in range(4)], axis=-2)
-    w4 = p.shape[-2]
-    out = codes.reshape(*p.shape[:-2], w4 * 4, p.shape[-1])
-    return out.astype(np.float32) - 1.0
+    out = _UNPACK_LUT[p]                          # (..., W*C//4, 4)
+    w = p.shape[-1] * 4 // channels
+    return out.reshape(*p.shape[:-1], w, channels)
 
 
 class PGDResult(NamedTuple):
@@ -66,7 +68,7 @@ class PGDResult(NamedTuple):
     losses: jnp.ndarray      # (num_iters,) loss value per iteration
     trajectory: Optional[tuple]
     # collect=True:    ((iters, B, H, W, 3) f32, same) — full iterates
-    # collect="signs": ((iters, B, H, W//4, 3) u8, same) — packed signs
+    # collect="signs": ((iters, B, H, W*3//4) u8, same) — packed signs
 
 
 def pgd_attack(loss_fn: Callable, clean_left, clean_right, *,
@@ -130,9 +132,10 @@ def replay_pgd(clean_left: np.ndarray, clean_right: np.ndarray,
     xl = np.asarray(clean_left, np.float32)
     xr = np.asarray(clean_right, np.float32)
     cl, cr = xl, xr
+    ch = xl.shape[-1]
     for k in range(np.asarray(packed_left).shape[0]):
-        sl = unpack_signs(packed_left[k])
-        sr = unpack_signs(packed_right[k])
+        sl = unpack_signs(packed_left[k], channels=ch)
+        sr = unpack_signs(packed_right[k], channels=ch)
         xl = np.clip(cl + np.clip((xl + alpha * sl) - cl, -eps, eps),
                      clip_min, clip_max).astype(np.float32)
         xr = np.clip(cr + np.clip((xr + alpha * sr) - cr, -eps, eps),

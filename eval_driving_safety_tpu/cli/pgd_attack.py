@@ -221,53 +221,82 @@ def run_dsgn(args):
 def run_srcnn(args):
     from eval_driving_safety_tpu.attack.pgd import pgd_attack
     from eval_driving_safety_tpu.data.dataset import (
-        prepare_srcnn_batch, save_attacked_images, srcnn_clip_bounds)
-    from eval_driving_safety_tpu.data.kitti import srcnn_to_rgb01
+        prepare_srcnn_batch_u8, quantize_01_u8, save_attacked_images,
+        save_sweep_from_signs, srcnn_clean01_device, srcnn_clean01_host)
     from eval_driving_safety_tpu.models.stereo_rcnn import (
         StereoRCNN, make_gt_batch, total_attack_loss)
 
     from eval_driving_safety_tpu.cli.common import make_srcnn_cfg
     cfg = make_srcnn_cfg(args, default_bf16=True, default_s2d=True)
     model = StereoRCNN(cfg)
-    alpha = args.alpha if args.alpha is not None else 1.0
-    eps = args.eps if args.eps is not None else 255.0 * 0.3
+    # attack space = BGR [0,1] at network scale: the exact u8 ingest
+    # (data.exact_resize) makes the clean pair bit-identical on host and
+    # device, so --transfer signs replays iterates exactly. The reference
+    # attacks the same frame in BGR*255-mean space; its alpha/eps pixel
+    # units are divided by 255 here (identical ball, identical updates up
+    # to the one f32 scale)
+    alpha = np.float32((args.alpha if args.alpha is not None else 1.0)
+                       / 255.0)
+    eps = np.float32((args.eps if args.eps is not None else 255.0 * 0.3)
+                     / 255.0)
     prefix = args.out_prefix or "stereo_rcnn_pgd"
-    clip_min, clip_max = srcnn_clip_bounds(cfg.input)
-    ds = make_dataset(args)
+    signs = args.transfer == "signs"
+    ds = make_dataset(args, dtype="uint8")
     params = None
     uncert = jnp.zeros((6,))
     rng = jax.random.PRNGKey(11)
+    means = np.asarray(cfg.input.pixel_means_bgr, np.float32)
+    kw = dict(alpha=alpha, eps=eps, clip_min=0.0, clip_max=1.0)
 
     @jax.jit
-    def attack(params, clean_l, clean_r, gt):
-        def loss_fn(il, ir):
-            out = model.apply(params, il, ir, gt=gt, rng=rng, mode="attack")
+    def attack(params, il_u8, ir_u8, wargs, gt):
+        clean_l = srcnn_clean01_device(wargs, il_u8)
+        clean_r = srcnn_clean01_device(wargs, ir_u8)
+
+        def loss_fn(il01, ir01):
+            out = model.apply(params, il01 * 255.0 - means,
+                              ir01 * 255.0 - means, gt=gt, rng=rng,
+                              mode="attack")
             return total_attack_loss(out.losses, uncert)
 
         res = pgd_attack(loss_fn, clean_l, clean_r, num_iters=args.iter,
-                         alpha=alpha, eps=eps, clip_min=jnp.asarray(clip_min),
-                         clip_max=jnp.asarray(clip_max), collect=True)
-        # fused device-side denormalize+quantize for the saved trajectory
-        from eval_driving_safety_tpu.data.dataset import quantize_srcnn_u8
-        means = cfg.input.pixel_means_bgr
-        return res.losses, (quantize_srcnn_u8(res.trajectory[0], means),
-                            quantize_srcnn_u8(res.trajectory[1], means))
+                         collect="signs" if signs else True, **kw)
+        if signs:
+            return res.losses, res.trajectory
+        # device-side BGR01 -> quantized RGB u8 for the fetched trajectory
+        return res.losses, (quantize_01_u8(res.trajectory[0][..., ::-1]),
+                            quantize_01_u8(res.trajectory[1][..., ::-1]))
 
-    denorm = lambda x: srcnn_to_rgb01(x, cfg.input.pixel_means_bgr)
+    denorm = lambda x: x[..., ::-1]        # BGR01 -> RGB01 for the writer
     writer = make_writer(args)
+    import concurrent.futures as cf
+    replayer = cf.ThreadPoolExecutor(max_workers=2)
+    pending = []
+
+    def submit_replay(b, pl, pr):
+        def job():
+            cl, cr = srcnn_clean01_host(b)
+            save_sweep_from_signs(b, cl, cr, pl, pr, prefix, denorm,
+                                  writer, **kw)
+        pending.append(replayer.submit(job))
+
     try:
         for samples in ds.batches(args.batch, prefetch=args.prefetch,
                                   io_workers=args.io_workers):
             if args.resume and _already_done(prefix, args.iter,
                                              [s.frame_id for s in samples]):
                 continue
-            b = prepare_srcnn_batch(samples, cfg.input)
+            b = prepare_srcnn_batch_u8(samples, cfg.input)
             gt = make_gt_batch(b["objects"], b["calibs"], cfg,
                                image_scale=b["scales"])
+            wargs = {k: b[k] for k in ("ih", "iw", "den_h", "den_w",
+                                       "wmask", "c")}
             if params is None:
+                cl0, cr0 = srcnn_clean01_host(b)
                 params, aux = load_params(model, lambda: model.init(
-                    jax.random.PRNGKey(0), jnp.asarray(b["im_left"][:1]),
-                    jnp.asarray(b["im_right"][:1]),
+                    jax.random.PRNGKey(0),
+                    jnp.asarray(cl0[:1] * 255.0 - means),
+                    jnp.asarray(cr0[:1] * 255.0 - means),
                     gt=jax.tree_util.tree_map(lambda x: x[:1], gt), rng=rng,
                     mode="attack"), args.ckpt, return_aux=True)
                 if "uncert" in aux:
@@ -280,19 +309,27 @@ def run_srcnn(args):
                     from eval_driving_safety_tpu.models.common import \
                         cast_matmul_params
                     params = cast_matmul_params(params)
-            sh = _shard_arrays({"il": b["im_left"], "ir": b["im_right"],
-                                "gt": gt})
-            losses, traj = attack(params, sh["il"], sh["ir"], sh["gt"])
-            save_attacked_images(b, b["im_left"], b["im_right"],
-                                 f"{prefix}_iters_0", denorm, writer=writer)
-            for k in range(args.iter):
-                # trajectory is already device-denormalized uint8 RGB
-                save_attacked_images(b, traj[0][k], traj[1][k],
-                                     f"{prefix}_iters_{k + 1}",
-                                     lambda x: x, writer=writer)
+            sh = _shard_arrays({"il": b["im_left_u8"], "ir": b["im_right_u8"],
+                                "wargs": wargs, "gt": gt})
+            losses, traj = attack(params, sh["il"], sh["ir"], sh["wargs"],
+                                  sh["gt"])
+            if signs:
+                submit_replay(b, traj[0], traj[1])
+            else:
+                cl, cr = srcnn_clean01_host(b)
+                save_attacked_images(b, cl, cr, f"{prefix}_iters_0",
+                                     denorm, writer=writer)
+                for k in range(args.iter):
+                    # trajectory is already device-denormalized uint8 RGB
+                    save_attacked_images(b, traj[0][k], traj[1][k],
+                                         f"{prefix}_iters_{k + 1}",
+                                         lambda x: x, writer=writer)
             log(f"{b['frame_ids']}: losses "
                 f"{np.asarray(losses).round(3).tolist()}")
     finally:
+        for f in pending:
+            f.result()
+        replayer.shutdown()
         if writer is not None:
             writer.close()
 

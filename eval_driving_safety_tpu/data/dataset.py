@@ -295,6 +295,105 @@ def prepare_srcnn_batch(samples: Sequence[KittiSample],
     }
 
 
+def prepare_srcnn_batch_u8(samples: Sequence[KittiSample],
+                           cfg: SRCNNInputConfig = SRCNNInputConfig()) -> Dict:
+    """Transfer-minimal SRCNN batch: RAW u8 BGR frames (padded to a static
+    per-batch bucket; ~20x less host->device traffic than the resized f32
+    pair) + per-sample integer bilinear-resize weights
+    (data.exact_resize). The attack runs in BGR [0,1] at network scale:
+    clean = f32(integer-resize) * (1/(255*den_h*den_w)) — one f32
+    multiply, identical on host and device, so the sign replay
+    (attack.pgd.replay_pgd) reproduces device iterates bit-exactly
+    (tests/test_exact_resize.py)."""
+    from eval_driving_safety_tpu.data.exact_resize import \
+        bilinear_axis_weights
+    b = len(samples)
+    out_h, out_w = cfg.height, cfg.width
+    hp = max(s.orig_hw[0] for s in samples)
+    wp = max(s.orig_hw[1] for s in samples)
+    hp, wp = -(-hp // 8) * 8, -(-wp // 8) * 8        # static-ish bucket
+    il = np.zeros((b, hp, wp, 3), np.uint8)
+    ir = np.zeros((b, hp, wp, 3), np.uint8)
+    ih = np.zeros((b, 3, out_h), np.int32)           # i0, i1, r per sample
+    iw = np.zeros((b, 3, out_w), np.int32)
+    den_h = np.zeros((b,), np.int32)
+    den_w = np.zeros((b,), np.int32)
+    wmask = np.zeros((b, out_w), np.int32)
+    c = np.zeros((b,), np.float32)
+    scales = np.zeros((b,), np.float32)
+    net_hw = []
+    for i, s in enumerate(samples):
+        oh, ow = s.orig_hw
+        l, r = s.im_left, s.im_right
+        if l.dtype != np.uint8:
+            l = np.rint(l * 255.0).astype(np.uint8)
+            r = np.rint(r * 255.0).astype(np.uint8)
+        il[i, :oh, :ow] = l[..., ::-1]               # BGR byte order
+        ir[i, :oh, :ow] = r[..., ::-1]
+        scale = out_h / oh
+        full_w = int(round(ow * scale))
+        nw = min(full_w, out_w)
+        wh = bilinear_axis_weights(oh, out_h)
+        ww = bilinear_axis_weights(ow, full_w, crop=nw)
+        ih[i] = np.stack([wh.i0, wh.i1, wh.r])
+        iw[i, :, :nw] = np.stack([ww.i0, ww.i1, ww.r])
+        den_h[i], den_w[i] = wh.den, ww.den
+        wmask[i, :nw] = 1
+        c[i] = np.float64(1.0) / (255.0 * wh.den * ww.den)
+        scales[i] = scale
+        net_hw.append((out_h, nw))
+    return {
+        "im_left_u8": il, "im_right_u8": ir,
+        "ih": ih, "iw": iw, "den_h": den_h, "den_w": den_w,
+        "wmask": wmask, "c": c, "scales": scales,
+        "frame_ids": [s.frame_id for s in samples],
+        "orig_hw": [s.orig_hw for s in samples],
+        "net_hw": net_hw,
+        "calibs": [s.calib for s in samples],
+        "objects": [s.objects for s in samples],
+    }
+
+
+def srcnn_clean01_device(batch_u8: Dict, img_u8):
+    """Device half of the u8 ingest: (B,Hp,Wp,3) u8 BGR -> (B,H,W,3) f32
+    BGR [0,1] at network scale (width-padded with 0 = black, matching the
+    reference's -mean padding in mean-subtracted space). Call under jit
+    with the batch's weight arrays as device args."""
+    import jax.numpy as jnp
+    from eval_driving_safety_tpu.data.exact_resize import resize_v2_device
+    ih, iw = batch_u8["ih"], batch_u8["iw"]
+    v2 = resize_v2_device(img_u8, ih[:, 0], ih[:, 1], ih[:, 2],
+                          batch_u8["den_h"], iw[:, 0], iw[:, 1], iw[:, 2],
+                          batch_u8["den_w"])
+    v2 = v2 * batch_u8["wmask"][:, None, :, None]
+    return v2.astype(jnp.float32) * batch_u8["c"][:, None, None, None]
+
+
+def srcnn_clean01_host(batch_u8: Dict) -> tuple:
+    """Host twin of srcnn_clean01_device: bit-identical clean pair in BGR
+    [0,1] (integer resize + the same single f32 multiply) — the replay
+    seed for sign-trajectory sweeps."""
+    from eval_driving_safety_tpu.data.exact_resize import (
+        bilinear_axis_weights, resize_v2_host)
+    b, out_w = batch_u8["wmask"].shape
+    out = []
+    for side in ("im_left_u8", "im_right_u8"):
+        arrs = []
+        for i in range(b):
+            oh, ow = batch_u8["orig_hw"][i]
+            nw = batch_u8["net_hw"][i][1]
+            out_h = batch_u8["net_hw"][i][0]
+            wh = bilinear_axis_weights(oh, out_h)
+            full_w = int(round(ow * (out_h / oh)))
+            ww = bilinear_axis_weights(ow, full_w, crop=nw)
+            v2 = resize_v2_host(batch_u8[side][i, :oh, :ow], wh, ww)
+            x = np.zeros((out_h, out_w, 3), np.float32)
+            x[:, :nw] = v2.astype(np.float32) * batch_u8["c"][i]
+            arrs.append(x)
+        out.append(np.stack(arrs))
+    return out[0], out[1]
+
+
 def srcnn_clip_bounds(cfg: SRCNNInputConfig):
     """Per-channel clamp bounds in mean-subtracted BGR space
     (/root/reference/attack/Stereo-RCNN/pgd_attack.py:189-207)."""

@@ -169,6 +169,28 @@ def test_pgd_attack_cli_sharded_over_mesh(kitti_root, tmp_path):
 
 
 @pytest.mark.slow
+def test_pgd_attack_cli_srcnn_transfer_modes_identical(kitti_root, tmp_path):
+    """SRCNN --transfer signs (exact u8 ingest + sign replay) writes
+    byte-identical sweep PNGs to --transfer full (device-quantized
+    iterates) — the BGR01 attack-space bit-exactness contract."""
+    outs = {}
+    for mode in ("signs", "full"):
+        out = tmp_path / mode
+        run_cli("pgd_attack", "--detector", "srcnn", "--tiny",
+                "--data_path", str(kitti_root), "--iter", "2",
+                "--transfer", mode, "--out_prefix", str(out / "p"),
+                "--debug", "--debugnum", "1")
+        outs[mode] = out
+    from eval_driving_safety_tpu.data.kitti import load_image
+    for k in (0, 1, 2):
+        for sub in ("image_2", "image_3"):
+            a = outs["signs"] / f"p_iters_{k}" / sub / "000001.png"
+            b = outs["full"] / f"p_iters_{k}" / sub / "000001.png"
+            assert np.array_equal(load_image(str(a)), load_image(str(b))), \
+                f"iter {k} {sub} differs between transfer modes"
+
+
+@pytest.mark.slow
 def test_pgd_attack_cli_srcnn(kitti_root, tmp_path):
     out = tmp_path / "srcnn_adv"
     run_cli("pgd_attack", "--detector", "srcnn", "--tiny",

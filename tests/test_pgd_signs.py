@@ -14,14 +14,14 @@ def test_pack_unpack_roundtrip():
     rng = np.random.RandomState(0)
     s = rng.randint(-1, 2, size=(2, 6, 16, 3)).astype(np.float32)
     packed = np.asarray(pack_signs(jnp.asarray(s)))
-    assert packed.shape == (2, 6, 4, 3) and packed.dtype == np.uint8
+    assert packed.shape == (2, 6, 12) and packed.dtype == np.uint8
     out = unpack_signs(packed)
     assert np.array_equal(out, s)
 
 
 def test_pack_rejects_unaligned_width():
     with pytest.raises(ValueError):
-        pack_signs(jnp.zeros((1, 4, 6, 3)))
+        pack_signs(jnp.zeros((1, 4, 5, 3)))
 
 
 def _toy_loss(il, ir):
@@ -61,7 +61,7 @@ def test_replay_matches_device_iterates_bitwise(space):
 
     pl = np.asarray(signs.trajectory[0])
     pr = np.asarray(signs.trajectory[1])
-    assert pl.dtype == np.uint8 and pl.shape == (n, 2, 8, 4, 3)
+    assert pl.dtype == np.uint8 and pl.shape == (n, 2, 8, 12)
 
     replayed = list(replay_pgd(clean_l, clean_r, pl, pr, **kw))
     assert len(replayed) == n

@@ -255,3 +255,72 @@ def test_s2d_stem_exactly_matches_conv7():
     g_s2d = jax.grad(lambda im: s2d.apply(params, im)[0].sum())(x)
     np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_s2d),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.medium
+def test_bgr01_attack_space_equals_pixel_space():
+    """The transfer-minimal CLI attacks in BGR [0,1] (exact u8 ingest,
+    cli.pgd_attack.run_srcnn) instead of the reference's mean-subtracted
+    BGR*255 space. The two are the same attack: the loss gradient w.r.t.
+    x01 is 255 * the pixel-space gradient (signs identical), and
+    alpha/eps/clips scale by exactly 255 — so iterates correspond via
+    x_pix = x01*255 - means up to f32 evaluation noise."""
+    from eval_driving_safety_tpu.attack.pgd import pgd_attack
+
+    cfg = StereoRCNNConfig.tiny()
+    model = StereoRCNN(cfg)
+    h, w = cfg.input.height, cfg.input.width
+    k = jax.random.PRNGKey(0)
+    means = jnp.asarray([102.9801, 115.9465, 122.7717])
+    u8 = jax.random.randint(jax.random.fold_in(k, 1), (2, h, w, 3), 0, 256)
+    clean_pix = u8.astype(jnp.float32) - means          # mean-sub BGR*255
+    clean01 = u8.astype(jnp.float32) / 255.0            # BGR [0,1]
+    il_pix, ir_pix = clean_pix[:1], clean_pix[1:]
+    il01, ir01 = clean01[:1], clean01[1:]
+    g = cfg.max_gt_boxes
+    gt = {
+        "gt_left": jnp.zeros((1, g, 5)).at[0, 0].set(
+            jnp.array([0.45 * w, 0.4 * h, 0.55 * w, 0.6 * h, 1.0])),
+        "gt_right": jnp.zeros((1, g, 5)).at[0, 0].set(
+            jnp.array([0.44 * w, 0.4 * h, 0.54 * w, 0.6 * h, 1.0])),
+        "gt_merge": jnp.zeros((1, g, 4)).at[0, 0].set(
+            jnp.array([0.44 * w, 0.4 * h, 0.55 * w, 0.6 * h])),
+        "gt_dim_orien": jnp.zeros((1, g, 5)).at[0, 0].set(
+            jnp.array([1.5, 1.7, 4.0, 0.1, 0.995])),
+        "gt_kpts": jnp.full((1, g, 6), -1.0).at[0, 0].set(
+            jnp.array([1.0, 0.5 * w, 0.45 * w, 0.55 * w, 0.0, 0.0])),
+        "num_boxes": jnp.ones((1,), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(3)
+    variables = model.init(jax.random.PRNGKey(0), il_pix, ir_pix, gt=gt,
+                           rng=rng, mode="attack")
+    uncert = jnp.zeros((6,))
+
+    def loss_pix(l, r):
+        out = model.apply(variables, l, r, gt=gt, rng=rng, mode="attack")
+        return total_attack_loss(out.losses, uncert)
+
+    def loss_01(l, r):
+        return loss_pix(l * 255.0 - means, r * 255.0 - means)
+
+    res_pix = jax.jit(lambda l, r: pgd_attack(
+        loss_pix, l, r, num_iters=4, alpha=1.0, eps=76.5,
+        clip_min=-means, clip_max=255.0 - means))(il_pix, ir_pix)
+    res_01 = jax.jit(lambda l, r: pgd_attack(
+        loss_01, l, r, num_iters=4, alpha=np.float32(1.0 / 255.0),
+        eps=np.float32(0.3), clip_min=0.0, clip_max=1.0))(il01, ir01)
+
+    mapped = np.asarray(res_01.adv_left) * 255.0 - np.asarray(means)
+    diff = np.abs(mapped - np.asarray(res_pix.adv_left))
+    # identical ball: both perturbations bounded by eps in pixel units
+    assert diff.max() <= 2 * 4.0 + 1e-3        # sign flips bound: 2*alpha*k
+    # the two spaces agree except where f32 evaluation noise flips a
+    # near-zero gradient's sign; on RANDOM weights many pixels sit at
+    # near-ties (measured ~2.7% on this seed), so the bound is loose —
+    # the load-bearing guarantees are the exact ball, the exact update
+    # rule, and comparable ascent
+    assert (diff > 0.5).mean() < 0.10, (diff > 0.5).mean()
+    # both ascend the same loss comparably
+    a_pix = float(res_pix.losses[-1]) - float(res_pix.losses[0])
+    a_01 = float(res_01.losses[-1]) - float(res_01.losses[0])
+    assert a_pix > 0.0 and a_01 >= 0.5 * a_pix, (a_01, a_pix)
