@@ -316,9 +316,13 @@ def bench_dsgn_e2e_sweep(tiny: bool, n_frames: int = 12,
 
     cfg = DSGNConfig.tiny() if tiny else DSGNConfig.full()
     model = DSGN(cfg)
-    mean = np.asarray(cfg.input.mean)
-    std = np.asarray(cfg.input.std)
-    kw = dict(alpha=1 / 255., eps=0.3, clip_min=0.0, clip_max=1.0)
+    # 255-space attack on exact u8 pixels (cli.pgd_attack run_dsgn): unit
+    # step keeps iterates on the half-integer grid, so the host replay is
+    # pure int16 (attack.pgd.replay_pgd_255)
+    mean255 = (np.asarray(cfg.input.mean) * 255.0).astype(np.float32)
+    std255 = (np.asarray(cfg.input.std) * 255.0).astype(np.float32)
+    kw = dict(alpha=np.float32(1.0), eps=np.float32(76.5),
+              clip_min=0.0, clip_max=255.0)
     root = tempfile.mkdtemp(prefix="bench_kitti_")
     out = tempfile.mkdtemp(prefix="bench_sweep_")
     try:
@@ -331,12 +335,13 @@ def bench_dsgn_e2e_sweep(tiny: bool, n_frames: int = 12,
             # transfer-minimal: u8 pixels up, 2-bit packed signs down;
             # absent depth gt is device-born zeros (cli.pgd_attack does
             # the same three things)
-            il, ir = u8_to_01(il_u8), u8_to_01(ir_u8)
+            il = il_u8.astype(jnp.float32)
+            ir = ir_u8.astype(jnp.float32)
             depth = jnp.zeros(il.shape[:3], jnp.float32)
 
             def loss_fn(l, r):
-                o = model.apply(params, (l - mean) / std, (r - mean) / std,
-                                *calib)
+                o = model.apply(params, (l - mean255) / std255,
+                                (r - mean255) / std255, *calib)
                 return dsgn_total_loss(o, depth, boxes, nb, cfg)[0]
             res = pgd_attack(loss_fn, il, ir, num_iters=n_iters,
                              collect="signs", **kw)
@@ -361,23 +366,23 @@ def bench_dsgn_e2e_sweep(tiny: bool, n_frames: int = 12,
 
             def job(b=b, pl=traj[0], pr=traj[1]):
                 save_sweep_from_signs(
-                    b, u8_to_01(b["im_left_u8"]), u8_to_01(b["im_right_u8"]),
+                    b, b["im_left_u8"], b["im_right_u8"],
                     pl, pr, os.path.join(out, "dsgn_pgd"), ident, writer,
-                    clean_save=(b["im_left_u8"], b["im_right_u8"]), **kw)
+                    space_255=True, **kw)
             pending.append(replayer.submit(job))
 
         first = [ds.get(0)]
         b0 = prepare_dsgn_batch_u8(first, cfg.input)
         calib0 = tuple(jnp.asarray(b0[k])
                        for k in ("f_u", "baseline", "c_u", "c_v"))
-        norm0 = (u8_to_01(b0["im_left_u8"]) - mean) / std
+        norm0 = (b0["im_left_u8"].astype(np.float32) - mean255) / std255
         params = jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.asarray(norm0),
             jnp.asarray(norm0), *calib0)
         run_batch(first, None)             # compile warmup, untimed
 
         t0 = time.perf_counter()
-        writer = AsyncImageWriter(workers=2, compress_level=0)
+        writer = AsyncImageWriter(workers=3, compress_level=0)
         for samples in ds.batches(1, prefetch=2, io_workers=4):
             run_batch(samples, writer)
         for f in pending:
@@ -406,10 +411,12 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
     from eval_driving_safety_tpu.cli.common import make_srcnn_cfg
     from eval_driving_safety_tpu.data.dataset import (AsyncImageWriter,
                                                       KittiStereoDataset,
+                                                      fetch_np,
                                                       prepare_srcnn_batch_u8,
-                                                      save_sweep_from_signs,
-                                                      srcnn_clean01_device,
-                                                      srcnn_clean01_host)
+                                                      quantize_v_rgb_u8,
+                                                      save_sweep,
+                                                      srcnn_cleanv_device,
+                                                      srcnn_cleanv_host)
     from eval_driving_safety_tpu.models.stereo_rcnn import (
         StereoRCNN, make_gt_batch, total_attack_loss)
 
@@ -420,9 +427,6 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
     uncert = jnp.zeros((6,))
     rng = jax.random.PRNGKey(11)
     means = np.asarray(cfg.input.pixel_means_bgr, np.float32)
-    # BGR01 attack space (the exact u8 ingest; cli.pgd_attack run_srcnn)
-    kw = dict(alpha=np.float32(1.0 / 255.0), eps=np.float32(0.3),
-              clip_min=0.0, clip_max=1.0)
     root = tempfile.mkdtemp(prefix="bench_kitti_")
     out = tempfile.mkdtemp(prefix="bench_sweep_")
     try:
@@ -430,21 +434,27 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
                               w=320 if tiny else 1242)
         ds = KittiStereoDataset(root, dtype="uint8")
 
+        # v-space attack (cli.pgd_attack run_srcnn): integer clean,
+        # per-sample unit-pixel alpha; host replay is the fused native
+        # int32 kernel
         @jax.jit
-        def attack(params, il_u8, ir_u8, wargs, gt):
-            clean_l = srcnn_clean01_device(wargs, il_u8)
-            clean_r = srcnn_clean01_device(wargs, ir_u8)
+        def attack(params, il_u8, ir_u8, wargs, gt, alpha_v, eps_v, max_v,
+                   c255):
+            clean_l = srcnn_cleanv_device(wargs, il_u8)
+            clean_r = srcnn_cleanv_device(wargs, ir_u8)
+            cb = c255[:, None, None, None]
 
-            def loss_fn(il01, ir01):
-                o = model.apply(params, il01 * 255.0 - means,
-                                ir01 * 255.0 - means, gt=gt, rng=rng,
+            def loss_fn(il_v, ir_v):
+                o = model.apply(params, il_v * cb - means,
+                                ir_v * cb - means, gt=gt, rng=rng,
                                 mode="attack")
                 return total_attack_loss(o.losses, uncert)
             res = pgd_attack(loss_fn, clean_l, clean_r, num_iters=n_iters,
-                             collect="signs", **kw)
+                             alpha=alpha_v, eps=eps_v, clip_min=0.0,
+                             clip_max=max_v, collect="signs")
             return res.losses, res.trajectory
 
-        denorm = lambda x: x[..., ::-1]      # BGR01 -> RGB01
+        ident = lambda x: x
         replayer = cf.ThreadPoolExecutor(max_workers=2)
         pending = []
 
@@ -454,27 +464,47 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
                                image_scale=b["scales"])
             wargs = {k: b[k] for k in ("ih", "iw", "den_h", "den_w",
                                        "wmask", "c")}
+            K = b["den_h"].astype(np.float64) * b["den_w"]
+            alpha_v = (1.0 * K).astype(np.float32).reshape(-1, 1, 1, 1)
+            eps_v = (76.5 * K).astype(np.float32).reshape(-1, 1, 1, 1)
+            max_v = (255.0 * K).astype(np.float32).reshape(-1, 1, 1, 1)
             if params is None:
-                cl0, cr0 = srcnn_clean01_host(b)
+                v2l0, v2r0 = srcnn_cleanv_host(b)
                 params = jax.jit(lambda: model.init(
                     jax.random.PRNGKey(0),
-                    jnp.asarray(cl0 * 255.0 - means),
-                    jnp.asarray(cr0 * 255.0 - means), gt=gt, rng=rng,
-                    mode="attack"))()
+                    jnp.asarray(v2l0 * b["c255"][0] - means),
+                    jnp.asarray(v2r0 * b["c255"][0] - means), gt=gt,
+                    rng=rng, mode="attack"))()
                 from eval_driving_safety_tpu.models.common import \
                     cast_matmul_params
                 params = cast_matmul_params(params)
             losses, traj = attack(params, jnp.asarray(b["im_left_u8"]),
-                                  jnp.asarray(b["im_right_u8"]), wargs, gt)
+                                  jnp.asarray(b["im_right_u8"]), wargs, gt,
+                                  jnp.asarray(alpha_v), jnp.asarray(eps_v),
+                                  jnp.asarray(max_v),
+                                  jnp.asarray(b["c255"]))
             if writer is None:
                 np.asarray(traj[0])
                 return params
 
-            def job(b=b, pl=traj[0], pr=traj[1]):
-                cl, cr = srcnn_clean01_host(b)
-                save_sweep_from_signs(b, cl, cr, pl, pr,
-                                      os.path.join(out, "srcnn_pgd"),
-                                      denorm, writer, **kw)
+            def job(b=b, pl=traj[0], pr=traj[1], K=K):
+                from eval_driving_safety_tpu.attack.replay_native import \
+                    replay_sweep_u8
+                v2l, v2r = srcnn_cleanv_host(b)
+                pl_, pr_ = fetch_np(pl), fetch_np(pr)
+                a2i = (2 * K).astype(np.int64)
+                e2i = (153 * K).astype(np.int64)
+                m2i = (510 * K).astype(np.int64)
+                nat_l = replay_sweep_u8(v2l * 2, pl_, alpha2=a2i, eps2=e2i,
+                                        max2=m2i, c255=b["c255"],
+                                        flip_channels=True)
+                nat_r = replay_sweep_u8(v2r * 2, pr_, alpha2=a2i, eps2=e2i,
+                                        max2=m2i, c255=b["c255"],
+                                        flip_channels=True)
+                q0 = (quantize_v_rgb_u8(v2l.astype(np.float32), b["c255"]),
+                      quantize_v_rgb_u8(v2r.astype(np.float32), b["c255"]))
+                save_sweep(b, q0, zip(nat_l, nat_r),
+                           os.path.join(out, "srcnn_pgd"), ident, writer)
             pending.append(replayer.submit(job))
             return params
 

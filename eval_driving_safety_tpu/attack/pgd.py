@@ -41,6 +41,12 @@ import numpy as np
 _PACK_WEIGHTS = (1, 4, 16, 64)
 _UNPACK_LUT = (np.stack([(np.arange(256) >> (2 * i)) & 3 for i in range(4)],
                         axis=-1).astype(np.float32) - 1.0)     # (256, 4)
+_UNPACK_LUT_2X = (2 * (np.stack([(np.arange(256) >> (2 * i)) & 3
+                                 for i in range(4)], axis=-1)
+                       .astype(np.int16) - 1))    # doubled signs, int16
+_UNPACK_LUT_I8 = (np.stack([(np.arange(256) >> (2 * i)) & 3
+                            for i in range(4)], axis=-1)
+                  .astype(np.int8) - 1)           # plain signs, int8
 
 
 def pack_signs(s):
@@ -125,7 +131,7 @@ def replay_pgd(clean_left: np.ndarray, clean_right: np.ndarray,
     add/sub/clip ops, which numpy and XLA round identically (fused
     multiply-adds cannot diverge because the product term is exact).
     """
-    alpha = np.float32(alpha)
+    alpha = np.asarray(alpha, np.float32)   # scalar or broadcastable array
     eps = np.asarray(eps, np.float32)
     clip_min = np.asarray(clip_min, np.float32)
     clip_max = np.asarray(clip_max, np.float32)
@@ -141,3 +147,86 @@ def replay_pgd(clean_left: np.ndarray, clean_right: np.ndarray,
         xr = np.clip(cr + np.clip((xr + alpha * sr) - cr, -eps, eps),
                      clip_min, clip_max).astype(np.float32)
         yield xl, xr
+
+
+def replay_255_valid(alpha, eps, clip_min, clip_max) -> bool:
+    """True when the integer replay (`replay_pgd_255`) is exact for a
+    255-space attack: unit step, half-integer ball, full pixel range."""
+    try:
+        return (float(alpha) == 1.0 and float(2 * eps).is_integer()
+                and float(clip_min) == 0.0 and float(clip_max) == 255.0)
+    except (TypeError, ValueError):
+        return False
+
+
+def replay_pgd_ints(clean2_left: np.ndarray, clean2_right: np.ndarray,
+                    packed_left: np.ndarray, packed_right: np.ndarray, *,
+                    alpha2, eps2, clip_max2):
+    """Doubled-integer replay for grid attack spaces.
+
+    When alpha, 2*eps and clip_max are integers (per sample allowed) and
+    clip_max + eps < 2^23, every f32 iterate of the device attack lives
+    exactly on the half-integer grid (all update ops are exact), so the
+    trajectory is tracked as DOUBLED int32 values. Inputs/outputs are
+    2x-scaled: clean2 = 2*clean (int32), alpha2/eps2/clip_max2 = doubled
+    scalars or (B,) arrays. Yields (v2_left, v2_right) int32 pairs per
+    iteration — v2/2 equals the device's f32 iterate exactly."""
+    def bshape(v):
+        a = np.asarray(v, np.int32)
+        return a.reshape(-1, 1, 1, 1) if a.ndim == 1 else a
+
+    a2, e2, m2 = bshape(alpha2), bshape(eps2), bshape(clip_max2)
+    c2l = np.asarray(clean2_left, np.int32)
+    c2r = np.asarray(clean2_right, np.int32)
+    v2l, v2r = c2l, c2r
+    ch = c2l.shape[-1]
+    pl = np.asarray(packed_left)
+    pr = np.asarray(packed_right)
+
+    def unpack_sign(p):
+        out = _UNPACK_LUT_I8[p]
+        w = p.shape[-1] * 4 // ch
+        return out.reshape(*p.shape[:-1], w, ch)
+
+    for k in range(pl.shape[0]):
+        v2l = np.clip(np.clip(v2l + unpack_sign(pl[k]) * a2 - c2l,
+                              -e2, e2) + c2l, 0, m2)
+        v2r = np.clip(np.clip(v2r + unpack_sign(pr[k]) * a2 - c2r,
+                              -e2, e2) + c2r, 0, m2)
+        yield v2l, v2r
+
+
+def replay_pgd_255(clean_u8_left: np.ndarray, clean_u8_right: np.ndarray,
+                   packed_left: np.ndarray, packed_right: np.ndarray, *,
+                   eps: float):
+    """Integer replay for attacks in 255-space (alpha=1, clip [0,255],
+    clean = exact uint8 pixels — the DSGN sweep's space since r4).
+
+    Device iterates are HALF-INTEGERS: every update op is an exact f32
+    add/sub/clip on half-integer values < 2^24, so the trajectory lives
+    exactly on the half grid and is tracked here as doubled values in
+    int16 (update +-2, ball +-2*eps, range [0, 510]). Yields QUANTIZED
+    (u8_left, u8_right) frames per iteration — bit-equal to running
+    replay_pgd in f32 and truncating (tests/test_pgd_signs.py), at a
+    fraction of the host cost (int16 adds, no float passes, no separate
+    quantization)."""
+    e2 = int(round(2 * float(eps)))
+    c2l = (clean_u8_left.astype(np.int16) << 1)
+    c2r = (clean_u8_right.astype(np.int16) << 1)
+    v2l, v2r = c2l, c2r
+    ch = clean_u8_left.shape[-1]
+    pl = np.asarray(packed_left)
+    pr = np.asarray(packed_right)
+
+    def unpack2x(p):
+        out = _UNPACK_LUT_2X[p]
+        w = p.shape[-1] * 4 // ch
+        return out.reshape(*p.shape[:-1], w, ch)
+
+    for k in range(pl.shape[0]):
+        v2l = np.clip(np.clip(v2l + unpack2x(pl[k]) - c2l, -e2, e2) + c2l,
+                      0, 510)
+        v2r = np.clip(np.clip(v2r + unpack2x(pr[k]) - c2r, -e2, e2) + c2r,
+                      0, 510)
+        # u8 = trunc(v) = (2v) >> 1 (100.5 -> 100, matching save_image)
+        yield ((v2l >> 1).astype(np.uint8), (v2r >> 1).astype(np.uint8))

@@ -105,21 +105,33 @@ def run_dsgn(args):
         save_sweep_from_signs, u8_to_01)
     cfg = make_dsgn_cfg(args)
     model, params = make_dsgn_model(args, cfg)
-    alpha = args.alpha if args.alpha is not None else 1.0 / 255.0
-    eps = args.eps if args.eps is not None else 0.3
+    # attack space = RGB 255-units: clean = the exact uint8 pixels as f32
+    # (a lossless convert), the default unit step keeps every iterate on
+    # the half-integer grid (f32 adds on half-integers < 2^24 are exact),
+    # so the host sign replay is pure int16 arithmetic
+    # (attack.pgd.replay_pgd_255). Same ball/updates as the reference's
+    # [0,1] attack, scaled by exactly 255. --alpha/--eps stay in the
+    # reference's [0,1] units.
+    alpha = np.float32(1.0) if args.alpha is None \
+        else np.float32(args.alpha * 255.0)
+    eps = np.float32(76.5) if args.eps is None \
+        else np.float32(args.eps * 255.0)
+    kw = dict(alpha=alpha, eps=eps, clip_min=0.0, clip_max=255.0)
     prefix = args.out_prefix or "dsgn_pgd"
     signs = args.transfer == "signs"
-    # both transfer modes ingest RAW u8 and convert on device: the clean
-    # pair is exactly the loaded pixels (a host-normalized float upload
-    # denormalized on device is NOT bit-exact, and costs 4x the bytes)
+    # both transfer modes ingest RAW u8: the clean pair is exactly the
+    # loaded pixels (a host-normalized float upload denormalized on
+    # device is NOT bit-exact, and costs 4x the bytes)
     ds = make_dataset(args, dtype="uint8")
     mean, std = np.asarray(cfg.input.mean), np.asarray(cfg.input.std)
+    mean255 = (mean * 255.0).astype(np.float32)
+    std255 = (std * 255.0).astype(np.float32)
 
     def make_loss(params, calib, depth_gt, boxes3d, num_boxes):
-        def loss_fn(il01, ir01):
+        def loss_fn(il255, ir255):
             from eval_driving_safety_tpu.attack import objectives as O
-            out = model.apply(params, (il01 - mean) / std,
-                              (ir01 - mean) / std, *calib)
+            out = model.apply(params, (il255 - mean255) / std255,
+                              (ir255 - mean255) / std255, *calib)
             if args.objective == "depth_divergence":
                 return O.depth_divergence(out, depth_gt, cfg)
             if args.objective == "depth_shift":
@@ -132,24 +144,22 @@ def run_dsgn(args):
     # remote compiler's request limit at full model size)
     @jax.jit
     def attack(params, il_u8, ir_u8, calib, depth_gt, boxes3d, num_boxes):
-        # attack space = [0,1] RGB; on-device u8 -> [0,1] is bit-identical
-        # to the host's image load (tests/test_pgd_signs.py). With
-        # transfer="signs" only 2-bit packed gradient signs come back and
-        # the host replays the update rule (bit-exact) — 16-32x less link
-        # traffic per frame than fetching quantized iterates
-        clean_l, clean_r = u8_to_01(il_u8), u8_to_01(ir_u8)
+        # clean = exact u8 pixels as f32 (lossless). With transfer="signs"
+        # only 2-bit packed gradient signs come back and the host replays
+        # the update rule bit-exactly — 16-32x less link traffic per
+        # frame than fetching quantized iterates
+        clean_l = il_u8.astype(jnp.float32)
+        clean_r = ir_u8.astype(jnp.float32)
         res = pgd_attack(make_loss(params, calib, depth_gt, boxes3d,
                                    num_boxes),
                          clean_l, clean_r, num_iters=args.iter,
-                         alpha=alpha, eps=eps, clip_min=0.0, clip_max=1.0,
-                         collect="signs" if signs else True)
+                         collect="signs" if signs else True, **kw)
         if signs:
             return res.losses, res.trajectory
-        # quantize the saved trajectory on device: 4x less data through
-        # the device->host link, identical pixels (data.dataset helpers)
-        from eval_driving_safety_tpu.data.dataset import quantize_01_u8
-        return res.losses, (quantize_01_u8(res.trajectory[0]),
-                            quantize_01_u8(res.trajectory[1]))
+        # quantize the saved trajectory on device (truncation, the same
+        # rule as the host replay): 4x less data through the link
+        return res.losses, (res.trajectory[0].astype(jnp.uint8),
+                            res.trajectory[1].astype(jnp.uint8))
 
     writer = make_writer(args)
     import concurrent.futures as cf
@@ -160,10 +170,8 @@ def run_dsgn(args):
     def submit_replay(b, pl, pr):
         def job():
             save_sweep_from_signs(
-                b, u8_to_01(b["im_left_u8"]), u8_to_01(b["im_right_u8"]),
-                pl, pr, prefix, ident, writer,
-                alpha=alpha, eps=eps, clip_min=0.0, clip_max=1.0,
-                clean_save=(b["im_left_u8"], b["im_right_u8"]))
+                b, b["im_left_u8"], b["im_right_u8"],
+                pl, pr, prefix, ident, writer, space_255=True, **kw)
         pending.append(replayer.submit(job))
 
     try:
@@ -219,26 +227,27 @@ def run_dsgn(args):
 
 
 def run_srcnn(args):
-    from eval_driving_safety_tpu.attack.pgd import pgd_attack
+    from eval_driving_safety_tpu.attack.pgd import (pgd_attack, replay_pgd,
+                                                    replay_pgd_ints)
     from eval_driving_safety_tpu.data.dataset import (
-        prepare_srcnn_batch_u8, quantize_01_u8, save_attacked_images,
-        save_sweep_from_signs, srcnn_clean01_device, srcnn_clean01_host)
+        fetch_np, prepare_srcnn_batch_u8, quantize_v_rgb_u8,
+        save_attacked_images, save_sweep, srcnn_cleanv_device,
+        srcnn_cleanv_host)
     from eval_driving_safety_tpu.models.stereo_rcnn import (
         StereoRCNN, make_gt_batch, total_attack_loss)
 
     from eval_driving_safety_tpu.cli.common import make_srcnn_cfg
     cfg = make_srcnn_cfg(args, default_bf16=True, default_s2d=True)
     model = StereoRCNN(cfg)
-    # attack space = BGR [0,1] at network scale: the exact u8 ingest
-    # (data.exact_resize) makes the clean pair bit-identical on host and
-    # device, so --transfer signs replays iterates exactly. The reference
-    # attacks the same frame in BGR*255-mean space; its alpha/eps pixel
-    # units are divided by 255 here (identical ball, identical updates up
-    # to the one f32 scale)
-    alpha = np.float32((args.alpha if args.alpha is not None else 1.0)
-                       / 255.0)
-    eps = np.float32((args.eps if args.eps is not None else 255.0 * 0.3)
-                     / 255.0)
+    # attack space = the INTEGER resize scale ("v-space", data.dataset
+    # srcnn_cleanv_*): clean = den_h*den_w*255 * bgr01 — exact integers
+    # < 2^23, so the default unit-pixel step keeps every iterate on the
+    # integer grid and the host sign replay is pure int32. Same ball and
+    # updates as the reference's mean-subtracted pixel space, scaled per
+    # sample by den_h*den_w. --alpha/--eps stay in the reference's
+    # BGR*255 pixel units (defaults 1.0 and 255*0.3).
+    a_pix = args.alpha if args.alpha is not None else 1.0
+    e_pix = args.eps if args.eps is not None else 255.0 * 0.3
     prefix = args.out_prefix or "stereo_rcnn_pgd"
     signs = args.transfer == "signs"
     ds = make_dataset(args, dtype="uint8")
@@ -246,38 +255,80 @@ def run_srcnn(args):
     uncert = jnp.zeros((6,))
     rng = jax.random.PRNGKey(11)
     means = np.asarray(cfg.input.pixel_means_bgr, np.float32)
-    kw = dict(alpha=alpha, eps=eps, clip_min=0.0, clip_max=1.0)
 
     @jax.jit
-    def attack(params, il_u8, ir_u8, wargs, gt):
-        clean_l = srcnn_clean01_device(wargs, il_u8)
-        clean_r = srcnn_clean01_device(wargs, ir_u8)
+    def attack(params, il_u8, ir_u8, wargs, gt, alpha_v, eps_v, max_v,
+               c255):
+        clean_l = srcnn_cleanv_device(wargs, il_u8)
+        clean_r = srcnn_cleanv_device(wargs, ir_u8)
+        cb = c255[:, None, None, None]
 
-        def loss_fn(il01, ir01):
-            out = model.apply(params, il01 * 255.0 - means,
-                              ir01 * 255.0 - means, gt=gt, rng=rng,
+        def loss_fn(il_v, ir_v):
+            out = model.apply(params, il_v * cb - means,
+                              ir_v * cb - means, gt=gt, rng=rng,
                               mode="attack")
             return total_attack_loss(out.losses, uncert)
 
         res = pgd_attack(loss_fn, clean_l, clean_r, num_iters=args.iter,
-                         collect="signs" if signs else True, **kw)
+                         alpha=alpha_v, eps=eps_v, clip_min=0.0,
+                         clip_max=max_v,
+                         collect="signs" if signs else True)
         if signs:
             return res.losses, res.trajectory
-        # device-side BGR01 -> quantized RGB u8 for the fetched trajectory
-        return res.losses, (quantize_01_u8(res.trajectory[0][..., ::-1]),
-                            quantize_01_u8(res.trajectory[1][..., ::-1]))
+        # device-side v -> quantized RGB u8 for the fetched trajectory
+        # (ONE multiply + truncation; the host replay quantizes with the
+        # same op sequence, so both transfer modes write identical PNGs)
+        return res.losses, (quantize_v_rgb_u8(res.trajectory[0], c255),
+                            quantize_v_rgb_u8(res.trajectory[1], c255))
 
-    denorm = lambda x: x[..., ::-1]        # BGR01 -> RGB01 for the writer
+    ident = lambda x: x
     writer = make_writer(args)
     import concurrent.futures as cf
     replayer = cf.ThreadPoolExecutor(max_workers=2)
     pending = []
 
-    def submit_replay(b, pl, pr):
+    def submit_replay(b, pl, pr, K, vkw):
         def job():
-            cl, cr = srcnn_clean01_host(b)
-            save_sweep_from_signs(b, cl, cr, pl, pr, prefix, denorm,
-                                  writer, **kw)
+            v2l, v2r = srcnn_cleanv_host(b)
+            c255 = b["c255"]
+            a2 = 2.0 * a_pix * K
+            e2 = 2.0 * e_pix * K
+            intable = (np.all(a2 == np.rint(a2)) and
+                       np.all(e2 == np.rint(e2)) and
+                       float((255.0 * K + e_pix * K).max()) < 2 ** 23)
+            pl_, pr_ = fetch_np(pl), fetch_np(pr)
+            if intable:
+                from eval_driving_safety_tpu.attack.replay_native import \
+                    replay_sweep_u8
+                a2i = np.rint(a2).astype(np.int64)
+                e2i = np.rint(e2).astype(np.int64)
+                m2i = (510 * K).astype(np.int64)
+                nat_l = replay_sweep_u8(v2l * 2, pl_, alpha2=a2i, eps2=e2i,
+                                        max2=m2i, c255=c255,
+                                        flip_channels=True)
+                if nat_l is not None:
+                    nat_r = replay_sweep_u8(v2r * 2, pr_, alpha2=a2i,
+                                            eps2=e2i, max2=m2i, c255=c255,
+                                            flip_channels=True)
+                    frames = zip(nat_l, nat_r)
+                else:
+                    half = np.float32(0.5)
+                    frames = ((quantize_v_rgb_u8(
+                        a.astype(np.float32) * half, c255),
+                        quantize_v_rgb_u8(
+                        c.astype(np.float32) * half, c255))
+                        for a, c in replay_pgd_ints(
+                            v2l * 2, v2r * 2, pl_, pr_,
+                            alpha2=a2i, eps2=e2i, clip_max2=m2i))
+            else:
+                frames = ((quantize_v_rgb_u8(a, c255),
+                           quantize_v_rgb_u8(c, c255))
+                          for a, c in replay_pgd(
+                              v2l.astype(np.float32),
+                              v2r.astype(np.float32), pl_, pr_, **vkw))
+            q0 = (quantize_v_rgb_u8(v2l.astype(np.float32), c255),
+                  quantize_v_rgb_u8(v2r.astype(np.float32), c255))
+            save_sweep(b, q0, frames, prefix, ident, writer)
         pending.append(replayer.submit(job))
 
     try:
@@ -291,12 +342,21 @@ def run_srcnn(args):
                                image_scale=b["scales"])
             wargs = {k: b[k] for k in ("ih", "iw", "den_h", "den_w",
                                        "wmask", "c")}
+            K = b["den_h"].astype(np.float64) * b["den_w"]
+            vkw = dict(alpha=(a_pix * K).astype(np.float32)
+                       .reshape(-1, 1, 1, 1),
+                       eps=(e_pix * K).astype(np.float32)
+                       .reshape(-1, 1, 1, 1),
+                       clip_min=0.0,
+                       clip_max=(255.0 * K).astype(np.float32)
+                       .reshape(-1, 1, 1, 1))
+            c255 = b["c255"]
             if params is None:
-                cl0, cr0 = srcnn_clean01_host(b)
+                v2l0, v2r0 = srcnn_cleanv_host(b)
                 params, aux = load_params(model, lambda: model.init(
                     jax.random.PRNGKey(0),
-                    jnp.asarray(cl0[:1] * 255.0 - means),
-                    jnp.asarray(cr0[:1] * 255.0 - means),
+                    jnp.asarray(v2l0[:1] * b["c255"][0] - means),
+                    jnp.asarray(v2r0[:1] * b["c255"][0] - means),
                     gt=jax.tree_util.tree_map(lambda x: x[:1], gt), rng=rng,
                     mode="attack"), args.ckpt, return_aux=True)
                 if "uncert" in aux:
@@ -310,20 +370,27 @@ def run_srcnn(args):
                         cast_matmul_params
                     params = cast_matmul_params(params)
             sh = _shard_arrays({"il": b["im_left_u8"], "ir": b["im_right_u8"],
-                                "wargs": wargs, "gt": gt})
+                                "wargs": wargs, "gt": gt,
+                                "vkw": {k: v for k, v in vkw.items()
+                                        if k != "clip_min"},
+                                "c255": c255})
             losses, traj = attack(params, sh["il"], sh["ir"], sh["wargs"],
-                                  sh["gt"])
+                                  sh["gt"], sh["vkw"]["alpha"],
+                                  sh["vkw"]["eps"], sh["vkw"]["clip_max"],
+                                  sh["c255"])
             if signs:
-                submit_replay(b, traj[0], traj[1])
+                submit_replay(b, traj[0], traj[1], K, vkw)
             else:
-                cl, cr = srcnn_clean01_host(b)
-                save_attacked_images(b, cl, cr, f"{prefix}_iters_0",
-                                     denorm, writer=writer)
+                v2l, v2r = srcnn_cleanv_host(b)
+                q0l = quantize_v_rgb_u8(v2l.astype(np.float32), b["c255"])
+                q0r = quantize_v_rgb_u8(v2r.astype(np.float32), b["c255"])
+                save_attacked_images(b, q0l, q0r, f"{prefix}_iters_0",
+                                     ident, writer=writer)
                 for k in range(args.iter):
-                    # trajectory is already device-denormalized uint8 RGB
+                    # trajectory is already device-quantized uint8 RGB
                     save_attacked_images(b, traj[0][k], traj[1][k],
                                          f"{prefix}_iters_{k + 1}",
-                                         lambda x: x, writer=writer)
+                                         ident, writer=writer)
             log(f"{b['frame_ids']}: losses "
                 f"{np.asarray(losses).round(3).tolist()}")
     finally:

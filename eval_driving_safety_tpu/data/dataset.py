@@ -320,6 +320,7 @@ def prepare_srcnn_batch_u8(samples: Sequence[KittiSample],
     den_w = np.zeros((b,), np.int32)
     wmask = np.zeros((b, out_w), np.int32)
     c = np.zeros((b,), np.float32)
+    c255 = np.zeros((b,), np.float32)
     scales = np.zeros((b,), np.float32)
     net_hw = []
     for i, s in enumerate(samples):
@@ -340,12 +341,13 @@ def prepare_srcnn_batch_u8(samples: Sequence[KittiSample],
         den_h[i], den_w[i] = wh.den, ww.den
         wmask[i, :nw] = 1
         c[i] = np.float64(1.0) / (255.0 * wh.den * ww.den)
+        c255[i] = np.float64(1.0) / (wh.den * ww.den)
         scales[i] = scale
         net_hw.append((out_h, nw))
     return {
         "im_left_u8": il, "im_right_u8": ir,
         "ih": ih, "iw": iw, "den_h": den_h, "den_w": den_w,
-        "wmask": wmask, "c": c, "scales": scales,
+        "wmask": wmask, "c": c, "c255": c255, "scales": scales,
         "frame_ids": [s.frame_id for s in samples],
         "orig_hw": [s.orig_hw for s in samples],
         "net_hw": net_hw,
@@ -392,6 +394,72 @@ def srcnn_clean01_host(batch_u8: Dict) -> tuple:
             arrs.append(x)
         out.append(np.stack(arrs))
     return out[0], out[1]
+
+
+def srcnn_cleanv_device(batch_u8: Dict, img_u8):
+    """Device ingest into the INTEGER attack space ("v-space"): the raw
+    scaled resize output v2 = den_h*den_w*255 * bgr01 as f32. With the
+    reduced weight denominators (exact_resize) these integers are < 2^23
+    for KITTI scales, so unit-step PGD iterates stay exactly on the
+    (half-)integer grid and the host sign replay is pure int32
+    (attack.pgd.replay_pgd_ints). v / (den_h*den_w) = BGR pixel in
+    [0,255] (batch key "c255")."""
+    import jax.numpy as jnp
+    from eval_driving_safety_tpu.data.exact_resize import resize_v2_device
+    ih, iw = batch_u8["ih"], batch_u8["iw"]
+    v2 = resize_v2_device(img_u8, ih[:, 0], ih[:, 1], ih[:, 2],
+                          batch_u8["den_h"], iw[:, 0], iw[:, 1], iw[:, 2],
+                          batch_u8["den_w"])
+    return (v2 * batch_u8["wmask"][:, None, :, None]).astype(jnp.float32)
+
+
+def srcnn_cleanv_host(batch_u8: Dict) -> tuple:
+    """Host twin of srcnn_cleanv_device, as int32 (the replay seeds)."""
+    from eval_driving_safety_tpu.data.exact_resize import (
+        bilinear_axis_weights, resize_v2_host)
+    b, out_w = batch_u8["wmask"].shape
+    out = []
+    for side in ("im_left_u8", "im_right_u8"):
+        arrs = []
+        for i in range(b):
+            oh, ow = batch_u8["orig_hw"][i]
+            out_h, nw = batch_u8["net_hw"][i]
+            wh = bilinear_axis_weights(oh, out_h)
+            full_w = int(round(ow * (out_h / oh)))
+            ww = bilinear_axis_weights(ow, full_w, crop=nw)
+            v2 = resize_v2_host(batch_u8[side][i, :oh, :ow], wh, ww)
+            x = np.zeros((out_h, out_w, 3), np.int32)
+            x[:, :nw] = v2
+            arrs.append(x)
+        out.append(np.stack(arrs))
+    return out[0], out[1]
+
+
+def quantize_v_rgb_u8(x_v, c255):
+    """v-space frame -> quantized RGB u8 pixels: ONE f32 multiply by
+    1/(den_h*den_w) (`c255` flat (B,), broadcast over the batch axis of a
+    (B,H,W,3) frame or an (iters,B,H,W,3) stack) then the standard
+    truncation — the same op sequence on host (numpy) and device (jit),
+    so both transfer modes write identical PNGs."""
+    shape = (1,) * (x_v.ndim - 4) + (-1, 1, 1, 1)
+    if isinstance(x_v, np.ndarray):
+        x = x_v.astype(np.float32) * \
+            np.asarray(c255, np.float32).reshape(shape)
+        return np.clip(x, 0, 255).astype(np.uint8)[..., ::-1]
+    import jax.numpy as jnp
+    x = x_v.astype(jnp.float32) * c255.reshape(shape)
+    return jnp.clip(x, 0, 255).astype(jnp.uint8)[..., ::-1]
+
+
+def save_sweep(batch: Dict, clean_pair, frames, prefix: str, denorm,
+               writer) -> None:
+    """Save iteration 0 (clean) + every frame pair from `frames` under
+    `{prefix}_iters_{k}/image_{2,3}/` — the reference's sweep layout."""
+    save_attacked_images(batch, clean_pair[0], clean_pair[1],
+                         f"{prefix}_iters_0", denorm, writer=writer)
+    for k, (xl, xr) in enumerate(frames):
+        save_attacked_images(batch, xl, xr, f"{prefix}_iters_{k + 1}",
+                             denorm, writer=writer)
 
 
 def srcnn_clip_bounds(cfg: SRCNNInputConfig):
@@ -494,9 +562,23 @@ class AsyncImageWriter:
         self.close()
 
 
+def fetch_np(arr, poll_s: float = 0.004) -> np.ndarray:
+    """Device->host fetch that WAITS WITHOUT THE GIL: a worker thread
+    calling a plain np.asarray on an unfinished jax array can hold the
+    GIL for the whole device-compute wait (measured on the tunneled
+    backend), starving the other pipeline threads. Polling readiness with
+    sleeps keeps the wait free; the final copy is then just the transfer."""
+    if hasattr(arr, "is_ready"):
+        import time
+        while not arr.is_ready():
+            time.sleep(poll_s)
+    return np.asarray(arr)
+
+
 def save_sweep_from_signs(batch: Dict, clean_l, clean_r, packed_l, packed_r,
                           prefix: str, denorm, writer, *, alpha, eps,
-                          clip_min, clip_max, clean_save=None) -> None:
+                          clip_min, clip_max, clean_save=None,
+                          space_255: bool = False) -> None:
     """Replay a packed sign trajectory (attack.pgd.replay_pgd — bit-exact
     with the device iterates) and save every iteration's pair under
     `{prefix}_iters_{k}/image_{2,3}/` (iteration 0 = clean), the
@@ -504,17 +586,47 @@ def save_sweep_from_signs(batch: Dict, clean_l, clean_r, packed_l, packed_r,
     pgd_attack.py:357-374). Only the 2-bit packed signs cross the
     device->host link (16x less than float iterates).
 
-    clean_l/clean_r: HOST attack-space float32 pair (the replay seeds).
+    clean_l/clean_r: HOST attack-space pair (the replay seeds).
     clean_save: optional (left, right) override for the iteration-0 save
-    (e.g. the raw uint8 pixels, skipping a quantization pass)."""
-    from eval_driving_safety_tpu.attack.pgd import replay_pgd
+    (e.g. the raw uint8 pixels, skipping a quantization pass).
+    space_255: the attack ran in 255-space on uint8 clean pixels (the
+    DSGN default): frames quantize by truncation, and with the default
+    unit step / half-integer ball the replay runs entirely in int16
+    (attack.pgd.replay_pgd_255 — the cheap path)."""
+    from eval_driving_safety_tpu.attack.pgd import (replay_255_valid,
+                                                    replay_pgd,
+                                                    replay_pgd_255)
     cs_l, cs_r = clean_save if clean_save is not None else (clean_l, clean_r)
     save_attacked_images(batch, cs_l, cs_r, f"{prefix}_iters_0", denorm,
                          writer=writer)
-    pl, pr = np.asarray(packed_l), np.asarray(packed_r)
-    for k, (xl, xr) in enumerate(replay_pgd(
-            clean_l, clean_r, pl, pr, alpha=alpha, eps=eps,
-            clip_min=clip_min, clip_max=clip_max)):
+    pl, pr = fetch_np(packed_l), fetch_np(packed_r)
+    if space_255 and clean_l.dtype == np.uint8 and \
+            replay_255_valid(alpha, eps, clip_min, clip_max):
+        from eval_driving_safety_tpu.attack.replay_native import \
+            replay_sweep_u8
+        nat_l = replay_sweep_u8(clean_l.astype(np.int32) * 2, pl,
+                                alpha2=2, eps2=int(round(2 * float(eps))),
+                                max2=510, c255=1.0, flip_channels=False)
+        if nat_l is not None:
+            nat_r = replay_sweep_u8(clean_r.astype(np.int32) * 2, pr,
+                                    alpha2=2,
+                                    eps2=int(round(2 * float(eps))),
+                                    max2=510, c255=1.0,
+                                    flip_channels=False)
+            frames = zip(nat_l, nat_r)
+        else:
+            frames = replay_pgd_255(clean_l, clean_r, pl, pr, eps=eps)
+    elif space_255:
+        frames = ((np.clip(xl, 0, 255).astype(np.uint8),
+                   np.clip(xr, 0, 255).astype(np.uint8))
+                  for xl, xr in replay_pgd(
+                      clean_l.astype(np.float32), clean_r.astype(np.float32),
+                      pl, pr, alpha=alpha, eps=eps,
+                      clip_min=clip_min, clip_max=clip_max))
+    else:
+        frames = replay_pgd(clean_l, clean_r, pl, pr, alpha=alpha, eps=eps,
+                            clip_min=clip_min, clip_max=clip_max)
+    for k, (xl, xr) in enumerate(frames):
         save_attacked_images(batch, xl, xr, f"{prefix}_iters_{k + 1}",
                              denorm, writer=writer)
 

@@ -47,10 +47,17 @@ def bilinear_axis_weights(in_size: int, out_size: int,
     den = 2 * out_size
     num = (2 * d + 1) * in_size - out_size      # src = num / den
     lo = num // den                             # floor for negatives too
-    r = (num - lo * den).astype(np.int32)       # in [0, den)
+    r = num - lo * den                          # in [0, den)
+    # reduce the fraction r/den by the gcd common to EVERY weight: keeps
+    # the scaled values v2 = sum(c*u8) small enough (< 2^24 for KITTI
+    # scales) that they are exactly representable in f32 — the basis of
+    # the integer-grid attack space (dataset.prepare_srcnn_batch_u8)
+    g = int(np.gcd.reduce(np.concatenate([r, [den]])))
+    r = (r // g).astype(np.int32)
+    den //= g
     i0 = np.clip(lo, 0, in_size - 1).astype(np.int32)
     i1 = np.clip(lo + 1, 0, in_size - 1).astype(np.int32)
-    return AxisWeights(i0, i1, r, den)
+    return AxisWeights(i0, i1, r, int(den))
 
 
 def resize_v2_host(img_u8: np.ndarray, wh: AxisWeights,

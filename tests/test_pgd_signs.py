@@ -85,3 +85,134 @@ def test_device_u8_ingest_matches_host_load_exhaustive():
     host = u.astype(np.float32) / 255.0          # kitti.load_image formula
     dev = np.asarray(jax.jit(u8_to_01)(jnp.asarray(u)))
     assert np.array_equal(host, dev)
+
+
+@pytest.mark.parametrize("eps", [76.5, 2.5])
+def test_replay_255_matches_f32_quantized(eps):
+    """The int16 replay (255-space, unit step) emits u8 frames bit-equal
+    to running the f32 replay and truncating — including iterations where
+    the half-integer eps ball binds (eps=2.5 binds from iteration 3)."""
+    from eval_driving_safety_tpu.attack.pgd import replay_pgd_255
+    rng = np.random.RandomState(5)
+    shape = (2, 8, 16, 3)
+    u8l = rng.randint(0, 256, shape).astype(np.uint8)
+    u8r = rng.randint(0, 256, shape).astype(np.uint8)
+    kw = dict(alpha=np.float32(1.0), eps=np.float32(eps),
+              clip_min=0.0, clip_max=255.0)
+    n = 6
+    res = jax.jit(lambda l, r: pgd_attack(
+        _toy_loss, l, r, num_iters=n, collect="signs", **kw))(
+        jnp.asarray(u8l, jnp.float32), jnp.asarray(u8r, jnp.float32))
+    pl = np.asarray(res.trajectory[0])
+    pr = np.asarray(res.trajectory[1])
+
+    f32_frames = list(replay_pgd(u8l.astype(np.float32),
+                                 u8r.astype(np.float32), pl, pr, **kw))
+    int_frames = list(replay_pgd_255(u8l, u8r, pl, pr, eps=eps))
+    assert len(int_frames) == n
+    for k in range(n):
+        for side in (0, 1):
+            q = np.clip(f32_frames[k][side], 0, 255).astype(np.uint8)
+            assert np.array_equal(int_frames[k][side], q), f"iter {k}"
+    # device iterates live exactly on the half grid (the exactness basis)
+    assert np.array_equal(np.asarray(res.adv_left) * 2,
+                          np.round(np.asarray(res.adv_left) * 2))
+    # the ball actually bound for the small eps
+    if eps == 2.5:
+        d = np.abs(f32_frames[-1][0] - u8l.astype(np.float32)).max()
+        assert d == eps
+
+
+def test_replay_ints_matches_f32_chain_per_sample_params():
+    """The doubled-int32 replay for grid attack spaces (SRCNN v-space)
+    reproduces the device's f32 iterates exactly, with PER-SAMPLE
+    alpha/eps/clip_max arrays — v2/2 == the f32 chain bitwise."""
+    from eval_driving_safety_tpu.attack.pgd import replay_pgd_ints
+    rng = np.random.RandomState(9)
+    shape = (2, 8, 16, 3)
+    K = np.array([48.0, 80.0])                     # per-sample scales
+    v_l = rng.randint(0, 256 * 80, shape).astype(np.int32)
+    v_r = rng.randint(0, 256 * 80, shape).astype(np.int32)
+    v_l = np.minimum(v_l, (255 * K).astype(np.int32).reshape(2, 1, 1, 1))
+    v_r = np.minimum(v_r, (255 * K).astype(np.int32).reshape(2, 1, 1, 1))
+    kw = dict(alpha=(1.0 * K).astype(np.float32).reshape(2, 1, 1, 1),
+              eps=(2.5 * K).astype(np.float32).reshape(2, 1, 1, 1),
+              clip_min=0.0,
+              clip_max=(255.0 * K).astype(np.float32).reshape(2, 1, 1, 1))
+    n = 6                                          # ball binds from iter 3
+    res = jax.jit(lambda l, r: pgd_attack(
+        _toy_loss, l, r, num_iters=n, collect="signs", **kw))(
+        jnp.asarray(v_l, jnp.float32), jnp.asarray(v_r, jnp.float32))
+    full = jax.jit(lambda l, r: pgd_attack(
+        _toy_loss, l, r, num_iters=n, collect=True, **kw))(
+        jnp.asarray(v_l, jnp.float32), jnp.asarray(v_r, jnp.float32))
+    pl = np.asarray(res.trajectory[0])
+    pr = np.asarray(res.trajectory[1])
+    frames = list(replay_pgd_ints(
+        v_l * 2, v_r * 2, pl, pr,
+        alpha2=(2 * K).astype(np.int64),
+        eps2=(5 * K).astype(np.int64),
+        clip_max2=(510 * K).astype(np.int64)))
+    assert len(frames) == n
+    for k in range(n):
+        dev_l = np.asarray(full.trajectory[0][k])
+        dev_r = np.asarray(full.trajectory[1][k])
+        assert np.array_equal(frames[k][0].astype(np.float32) * 0.5,
+                              dev_l), f"iter {k} left"
+        assert np.array_equal(frames[k][1].astype(np.float32) * 0.5,
+                              dev_r), f"iter {k} right"
+
+
+def test_quantize_v_matches_device_formula():
+    """Host quantize_v_rgb_u8 == the device branch bitwise (the CLI full
+    vs signs byte-parity depends on it), over 4-d and 5-d stacks."""
+    from eval_driving_safety_tpu.data.dataset import quantize_v_rgb_u8
+    rng = np.random.RandomState(2)
+    K = np.array([31792.0, 120.0 * 1987], np.float64)
+    c255 = (1.0 / K).astype(np.float32)
+    v = (rng.rand(3, 2, 6, 8, 3) * 255.0 * K.reshape(1, 2, 1, 1, 1)
+         ).astype(np.int32).astype(np.float32)
+    host = quantize_v_rgb_u8(np.asarray(v), c255)
+    dev = np.asarray(jax.jit(quantize_v_rgb_u8)(jnp.asarray(v),
+                                                jnp.asarray(c255)))
+    assert np.array_equal(host, dev)
+    host4 = quantize_v_rgb_u8(np.asarray(v[0]), c255)
+    assert np.array_equal(host4, host[0])
+
+
+def test_native_replay_matches_numpy_paths():
+    """The fused C++ sweep replay (attack.replay_native) emits the same
+    u8 frames as the numpy int replay + quantize for BOTH spaces (DSGN
+    255-space and SRCNN v-space with per-sample scales)."""
+    from eval_driving_safety_tpu.attack.replay_native import replay_sweep_u8
+    from eval_driving_safety_tpu.attack.pgd import (replay_pgd_ints,
+                                                    replay_pgd_255)
+    from eval_driving_safety_tpu.data.dataset import quantize_v_rgb_u8
+    rng = np.random.RandomState(4)
+    shape = (2, 8, 16, 3)
+
+    # DSGN 255-space: u8 clean, alpha=1, eps=76.5, quantize = v>>1
+    u8l = rng.randint(0, 256, shape).astype(np.uint8)
+    u8r = rng.randint(0, 256, shape).astype(np.uint8)
+    packed = rng.randint(0, 171, (4, 2, 8, 16 * 3 // 4)).astype(np.uint8)
+    native = replay_sweep_u8(u8l.astype(np.int32) * 2, packed,
+                             alpha2=2, eps2=153, max2=510, c255=1.0,
+                             flip_channels=False)
+    if native is None:
+        pytest.skip("native toolchain unavailable")
+    ref = [l for l, _ in replay_pgd_255(u8l, u8r, packed, packed, eps=76.5)]
+    for k in range(4):
+        assert np.array_equal(native[k], ref[k]), f"255-space iter {k}"
+
+    # SRCNN v-space: per-sample K, BGR->RGB flip, f32-mul quantize
+    K = np.array([48, 80], np.int64)
+    v = (rng.rand(*shape) * 255 * K.reshape(2, 1, 1, 1)).astype(np.int32)
+    c255 = (1.0 / K).astype(np.float32)
+    native = replay_sweep_u8(v * 2, packed, alpha2=2 * K, eps2=5 * K,
+                             max2=510 * K, c255=c255, flip_channels=True)
+    ints = replay_pgd_ints(v * 2, v * 2, packed, packed,
+                           alpha2=2 * K, eps2=5 * K, clip_max2=510 * K)
+    for k, (v2l, _) in enumerate(ints):
+        ref_q = quantize_v_rgb_u8(v2l.astype(np.float32) * np.float32(0.5),
+                                  c255)
+        assert np.array_equal(native[k], ref_q), f"v-space iter {k}"
