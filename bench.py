@@ -413,7 +413,7 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
                                                       KittiStereoDataset,
                                                       fetch_np,
                                                       prepare_srcnn_batch_u8,
-                                                      quantize_v_rgb_u8,
+                                                      quantize_v_batch_u8,
                                                       save_sweep,
                                                       srcnn_cleanv_device,
                                                       srcnn_cleanv_host)
@@ -501,8 +501,8 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
                 nat_r = replay_sweep_u8(v2r * 2, pr_, alpha2=a2i, eps2=e2i,
                                         max2=m2i, c255=b["c255"],
                                         flip_channels=True)
-                q0 = (quantize_v_rgb_u8(v2l.astype(np.float32), b["c255"]),
-                      quantize_v_rgb_u8(v2r.astype(np.float32), b["c255"]))
+                q0 = (quantize_v_batch_u8(v2l, b["c255"]),
+                      quantize_v_batch_u8(v2r, b["c255"]))
                 save_sweep(b, q0, zip(nat_l, nat_r),
                            os.path.join(out, "srcnn_pgd"), ident, writer)
             pending.append(replayer.submit(job))

@@ -38,16 +38,70 @@ def get_native():
     global _lib, _failed
     if _lib is not None or _failed:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build():
+    src = os.path.join(_NATIVE_DIR, "sweep_replay.cpp")
+    stale = (not os.path.exists(_LIB_PATH)
+             or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+    if stale and not _build():
         _failed = True
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.replay_sweep_u8.restype = None
+        lib.resize_v2_i32.restype = None
+        lib.quantize_v_u8.restype = None
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
         _failed = True
     return _lib
+
+
+def resize_v2_i32(img_u8: np.ndarray, wh, ww, out_w: int):
+    """Native twin of exact_resize.resize_v2_host (identical integer
+    math), zero-padded to `out_w` columns; None when unavailable.
+    wh/ww are exact_resize.AxisWeights."""
+    lib = get_native()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img_u8, np.uint8)
+    h0, w0, c = img.shape
+    out_h, nw = len(wh.i0), len(ww.i0)
+    out = np.zeros((out_h, out_w, c), np.int32)
+    crop = np.empty((out_h, nw, c), np.int32) if nw != out_w else out
+    scratch = np.empty((out_h, w0, c), np.int32)
+    p = ctypes.POINTER
+
+    def ip(a):
+        return np.ascontiguousarray(a, np.int32).ctypes.data_as(
+            p(ctypes.c_int32))
+
+    lib.resize_v2_i32(
+        img.ctypes.data_as(p(ctypes.c_uint8)),
+        ctypes.c_int(h0), ctypes.c_int(w0), ctypes.c_int(c),
+        ip(wh.i0), ip(wh.i1), ip(wh.r), ctypes.c_int(wh.den),
+        ip(ww.i0), ip(ww.i1), ip(ww.r), ctypes.c_int(ww.den),
+        ctypes.c_int(out_h), ctypes.c_int(nw),
+        crop.ctypes.data_as(p(ctypes.c_int32)),
+        scratch.ctypes.data_as(p(ctypes.c_int32)))
+    if crop is not out:
+        out[:, :nw] = crop
+    return out
+
+
+def quantize_v_u8(v: np.ndarray, c255: float, flip_channels: bool):
+    """Native quantize of one v-space frame (trunc(f32(v) * c255), same
+    IEEE formula as dataset.quantize_v_rgb_u8); None when unavailable."""
+    lib = get_native()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(v, np.int32)
+    out = np.empty(v.shape, np.uint8)
+    lib.quantize_v_u8(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_long(v.size), ctypes.c_float(float(c255)),
+        ctypes.c_int(v.shape[-1]),
+        ctypes.c_int(1 if flip_channels else 0),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
 
 
 def replay_sweep_u8(clean2: np.ndarray, packed: np.ndarray,

@@ -230,9 +230,9 @@ def run_srcnn(args):
     from eval_driving_safety_tpu.attack.pgd import (pgd_attack, replay_pgd,
                                                     replay_pgd_ints)
     from eval_driving_safety_tpu.data.dataset import (
-        fetch_np, prepare_srcnn_batch_u8, quantize_v_rgb_u8,
-        save_attacked_images, save_sweep, srcnn_cleanv_device,
-        srcnn_cleanv_host)
+        fetch_np, prepare_srcnn_batch_u8, quantize_v_batch_u8,
+        quantize_v_rgb_u8, save_attacked_images, save_sweep,
+        srcnn_cleanv_device, srcnn_cleanv_host)
     from eval_driving_safety_tpu.models.stereo_rcnn import (
         StereoRCNN, make_gt_batch, total_attack_loss)
 
@@ -326,8 +326,8 @@ def run_srcnn(args):
                           for a, c in replay_pgd(
                               v2l.astype(np.float32),
                               v2r.astype(np.float32), pl_, pr_, **vkw))
-            q0 = (quantize_v_rgb_u8(v2l.astype(np.float32), c255),
-                  quantize_v_rgb_u8(v2r.astype(np.float32), c255))
+            q0 = (quantize_v_batch_u8(v2l, c255),
+                  quantize_v_batch_u8(v2r, c255))
             save_sweep(b, q0, frames, prefix, ident, writer)
         pending.append(replayer.submit(job))
 
@@ -382,8 +382,8 @@ def run_srcnn(args):
                 submit_replay(b, traj[0], traj[1], K, vkw)
             else:
                 v2l, v2r = srcnn_cleanv_host(b)
-                q0l = quantize_v_rgb_u8(v2l.astype(np.float32), b["c255"])
-                q0r = quantize_v_rgb_u8(v2r.astype(np.float32), b["c255"])
+                q0l = quantize_v_batch_u8(v2l, b["c255"])
+                q0r = quantize_v_batch_u8(v2r, b["c255"])
                 save_attacked_images(b, q0l, q0r, f"{prefix}_iters_0",
                                      ident, writer=writer)
                 for k in range(args.iter):

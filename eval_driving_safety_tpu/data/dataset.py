@@ -414,7 +414,10 @@ def srcnn_cleanv_device(batch_u8: Dict, img_u8):
 
 
 def srcnn_cleanv_host(batch_u8: Dict) -> tuple:
-    """Host twin of srcnn_cleanv_device, as int32 (the replay seeds)."""
+    """Host twin of srcnn_cleanv_device, as int32 (the replay seeds).
+    Uses the native integer resize when built (same exact math, ~10x
+    less host CPU — this runs per frame on the sweep's replay path)."""
+    from eval_driving_safety_tpu.attack.replay_native import resize_v2_i32
     from eval_driving_safety_tpu.data.exact_resize import (
         bilinear_axis_weights, resize_v2_host)
     b, out_w = batch_u8["wmask"].shape
@@ -427,9 +430,11 @@ def srcnn_cleanv_host(batch_u8: Dict) -> tuple:
             wh = bilinear_axis_weights(oh, out_h)
             full_w = int(round(ow * (out_h / oh)))
             ww = bilinear_axis_weights(ow, full_w, crop=nw)
-            v2 = resize_v2_host(batch_u8[side][i, :oh, :ow], wh, ww)
-            x = np.zeros((out_h, out_w, 3), np.int32)
-            x[:, :nw] = v2
+            img = batch_u8[side][i, :oh, :ow]
+            x = resize_v2_i32(img, wh, ww, out_w)
+            if x is None:
+                x = np.zeros((out_h, out_w, 3), np.int32)
+                x[:, :nw] = resize_v2_host(img, wh, ww)
             arrs.append(x)
         out.append(np.stack(arrs))
     return out[0], out[1]
@@ -449,6 +454,20 @@ def quantize_v_rgb_u8(x_v, c255):
     import jax.numpy as jnp
     x = x_v.astype(jnp.float32) * c255.reshape(shape)
     return jnp.clip(x, 0, 255).astype(jnp.uint8)[..., ::-1]
+
+
+def quantize_v_batch_u8(v_i32: np.ndarray, c255) -> np.ndarray:
+    """(B,H,W,3) int32 v-space frames + (B,) scales -> quantized RGB u8,
+    via the native kernel when built (bit-identical; numpy fallback)."""
+    from eval_driving_safety_tpu.attack.replay_native import quantize_v_u8
+    outs = []
+    for i in range(v_i32.shape[0]):
+        q = quantize_v_u8(v_i32[i], float(np.asarray(c255).reshape(-1)[i]),
+                          flip_channels=True)
+        if q is None:
+            return quantize_v_rgb_u8(v_i32.astype(np.float32), c255)
+        outs.append(q)
+    return np.stack(outs)
 
 
 def save_sweep(batch: Dict, clean_pair, frames, prefix: str, denorm,

@@ -70,4 +70,54 @@ void replay_sweep_u8(const int32_t* v2_clean, const uint8_t* packed,
     }
 }
 
+// Integer bilinear resize (the host twin of data/exact_resize.py's
+// resize_v2_host, same exact integer math): (h0,w0,c) u8 ->
+// (out_h,out_w,c) int32 scaled by den_h*den_w. scratch: out_h*w0*c i32.
+void resize_v2_i32(const uint8_t* img, int h0, int w0, int c,
+                   const int32_t* i0h, const int32_t* i1h,
+                   const int32_t* rh, int den_h,
+                   const int32_t* i0w, const int32_t* i1w,
+                   const int32_t* rw, int den_w,
+                   int out_h, int out_w, int32_t* out, int32_t* scratch) {
+    const long row = (long)w0 * c;
+    for (int y = 0; y < out_h; ++y) {
+        const uint8_t* a = img + (long)i0h[y] * row;
+        const uint8_t* b = img + (long)i1h[y] * row;
+        const int32_t r = rh[y], s = den_h - rh[y];
+        int32_t* v1 = scratch + (long)y * row;
+        for (long i = 0; i < row; ++i)
+            v1[i] = s * (int32_t)a[i] + r * (int32_t)b[i];
+    }
+    for (int y = 0; y < out_h; ++y) {
+        const int32_t* v1 = scratch + (long)y * row;
+        int32_t* o = out + (long)y * out_w * c;
+        for (int x = 0; x < out_w; ++x) {
+            const int32_t r = rw[x], s = den_w - rw[x];
+            const int32_t* a = v1 + (long)i0w[x] * c;
+            const int32_t* b = v1 + (long)i1w[x] * c;
+            for (int k = 0; k < c; ++k)
+                o[(long)x * c + k] = s * a[k] + r * b[k];
+        }
+    }
+}
+
+// Quantize a v-space frame to u8 pixels: trunc(f32(v) * q), optional
+// BGR->RGB flip — the iteration-0 (clean) save of the sweep.
+void quantize_v_u8(const int32_t* v, long n, float q, int c,
+                   int flip_channels, uint8_t* out) {
+    for (long i = 0; i < n; ++i) {
+        float x = (float)v[i] * q;
+        if (x < 0.f) x = 0.f;
+        if (x > 255.f) x = 255.f;
+        out[i] = (uint8_t)x;
+    }
+    if (flip_channels && c == 3) {
+        for (long i = 0; i < n; i += 3) {
+            const uint8_t t = out[i];
+            out[i] = out[i + 2];
+            out[i + 2] = t;
+        }
+    }
+}
+
 }  // extern "C"
