@@ -583,7 +583,8 @@ def bench_dsgn_compat_attack(iters: int, tiny: bool,
     arch = DSGNCompatArch.tiny() if tiny else DSGNCompatArch()
     model = DSGNCompat(cfg, arch)
     params, im_l, im_r, _, pgd_iter = dsgn_step_setup(cfg, model)
-    return _time(pgd_iter, iters, (params,), (im_l, im_r))
+    _, flops, nbytes = _compile_with_flops(pgd_iter, params, im_l, im_r)
+    return _time(pgd_iter, iters, (params,), (im_l, im_r)), flops, nbytes
 
 
 def _srcnn_setup(tiny: bool, bf16: bool = False, stem: str = "conv7"):
@@ -758,24 +759,35 @@ def main():
         extra["dsgn_patch_train_iters_per_sec"] = round(v, 4)
 
     # compat default is now slice2d (config.compat_conv3d_method; its
-    # on-chip win over the plain Conv3D lowering was recorded in r3)
+    # on-chip win over the plain Conv3D lowering was recorded in r3).
+    # The compat step is BANDWIDTH-bound: r4 measured 79% of peak HBM BW
+    # at 14% MFU (5.07 TFLOP/iter, XLA cost model) — its roofline extras
+    # below quantify how close the upstream topology runs to
+    # speed-of-light at fixed program.
     v = run("dsgn_compat_attack",
             lambda: bench_dsgn_compat_attack(args.iters, args.tiny))
-    if v:
-        extra["dsgn_compat_attack_iters_per_sec"] = round(v, 4)
+    if v and v[0]:
+        rate, cflops, cbytes = v
+        extra["dsgn_compat_attack_iters_per_sec"] = round(rate, 4)
+        if cflops and peak_tflops():
+            extra["dsgn_compat_attack_mfu"] = round(
+                rate * cflops / 1e12 / peak_tflops(), 4)
+        if cbytes and peak_hbm_gbps():
+            extra["dsgn_compat_attack_hbm_bw_util"] = round(
+                rate * cbytes / 1e9 / peak_hbm_gbps(), 4)
     # tap-concat variant: one 2D conv with 3C input channels (better MXU
     # contraction-depth utilization) — recorded to decide future defaults
     v = run("dsgn_compat_concat",
             lambda: bench_dsgn_compat_attack(args.iters, args.tiny,
                                              conv3d="concat"))
-    if v:
-        extra["dsgn_compat_concat_attack_iters_per_sec"] = round(v, 4)
+    if v and v[0]:
+        extra["dsgn_compat_concat_attack_iters_per_sec"] = round(v[0], 4)
     # plain XLA Conv3D lowering, kept as the reference datapoint
     v = run("dsgn_compat_xla",
             lambda: bench_dsgn_compat_attack(args.iters, args.tiny,
                                              conv3d="xla"))
-    if v:
-        extra["dsgn_compat_xla_attack_iters_per_sec"] = round(v, 4)
+    if v and v[0]:
+        extra["dsgn_compat_xla_attack_iters_per_sec"] = round(v[0], 4)
 
     v = run("dsgn_fwd", lambda: bench_dsgn(args.iters, args.tiny, False))
     if v and v[0]:
