@@ -309,8 +309,7 @@ def bench_dsgn_e2e_sweep(tiny: bool, n_frames: int = 12,
                                                       KittiStereoDataset,
                                                       dsgn_boxes3d,
                                                       prepare_dsgn_batch_u8,
-                                                      save_sweep_from_signs,
-                                                      u8_to_01)
+                                                      save_sweep_from_signs)
     from eval_driving_safety_tpu.models.dsgn import DSGN
     from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
 
@@ -802,6 +801,10 @@ def main():
         extra["dsgn_pgd_sweep_pairs_per_sec_e2e"] = round(v, 4)
         if headline:
             extra["dsgn_e2e_vs_device_ratio"] = round(v / (headline / 4), 4)
+        if not args.tiny:
+            # the baseline unit is attack-iters/s; a 4-iter e2e pair = 4
+            extra["dsgn_e2e_vs_baseline"] = round(
+                v * 4 / REFERENCE_ITERS_PER_SEC, 1)
     v = run("srcnn_e2e",
             lambda: bench_srcnn_e2e_sweep(args.tiny, args.e2e_frames))
     if v:
