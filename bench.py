@@ -541,7 +541,7 @@ def bench_srcnn_patch_train(iters: int, tiny: bool) -> float:
     _, radius, patch = init_patch(h, 0.1)
     cl, cr = sample_patch_centers(jax.random.PRNGKey(4), 1, h, w, radius,
                                   disparity_shift=-64.0)
-    gt = _srcnn_patch_targets({"frame_ids": ["000000"]}, cfg, radius, cl, cr)
+    gt = _srcnn_patch_targets(1, cfg, radius, cl, cr)
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), il, ir, gt=gt, rng=rng, mode="attack"))()
     from eval_driving_safety_tpu.models.common import cast_matmul_params
@@ -743,6 +743,29 @@ def main():
             # bandwidth sustained (XLA post-fusion bytes-accessed model)
             extra["dsgn_attack_hbm_bw_util"] = round(gbps / bw, 4)
 
+    # END-TO-END sweep rates (load -> attack -> save-all-iters,
+    # overlapped) — the north-star's unit, run EARLY while the process is
+    # lean (measured 1.5x slower when run after ten other paper-scale
+    # benches). Ratios vs the pure device-step rate say how much of the
+    # chip the host pipeline sustains.
+    import gc
+    gc.collect()
+    v = run("dsgn_e2e",
+            lambda: bench_dsgn_e2e_sweep(args.tiny, args.e2e_frames))
+    if v:
+        extra["dsgn_pgd_sweep_pairs_per_sec_e2e"] = round(v, 4)
+        if headline:
+            extra["dsgn_e2e_vs_device_ratio"] = round(v / (headline / 4), 4)
+        if not args.tiny:
+            # the baseline unit is attack-iters/s; a 4-iter e2e pair = 4
+            extra["dsgn_e2e_vs_baseline"] = round(
+                v * 4 / REFERENCE_ITERS_PER_SEC, 1)
+    gc.collect()
+    v = run("srcnn_e2e",
+            lambda: bench_srcnn_e2e_sweep(args.tiny, args.e2e_frames))
+    if v:
+        extra["srcnn_pgd_sweep_pairs_per_sec_e2e"] = round(v, 4)
+
     # same attack step with the fused Pallas depth-tap conv replacing the
     # transpose-form depth stages (ops/pallas_depthconv.py) — recorded
     # alongside the transpose headline to decide the default on real HW
@@ -791,24 +814,6 @@ def main():
     v = run("dsgn_fwd", lambda: bench_dsgn(args.iters, args.tiny, False))
     if v and v[0]:
         extra["dsgn_clean_pairs_per_sec"] = round(v[0], 4)
-
-    # END-TO-END sweep rates (load -> attack -> save-all-iters, overlapped)
-    # — the north-star's unit. Ratios vs the pure device-step rate say how
-    # much of the chip the host pipeline sustains.
-    v = run("dsgn_e2e",
-            lambda: bench_dsgn_e2e_sweep(args.tiny, args.e2e_frames))
-    if v:
-        extra["dsgn_pgd_sweep_pairs_per_sec_e2e"] = round(v, 4)
-        if headline:
-            extra["dsgn_e2e_vs_device_ratio"] = round(v / (headline / 4), 4)
-        if not args.tiny:
-            # the baseline unit is attack-iters/s; a 4-iter e2e pair = 4
-            extra["dsgn_e2e_vs_baseline"] = round(
-                v * 4 / REFERENCE_ITERS_PER_SEC, 1)
-    v = run("srcnn_e2e",
-            lambda: bench_srcnn_e2e_sweep(args.tiny, args.e2e_frames))
-    if v:
-        extra["srcnn_pgd_sweep_pairs_per_sec_e2e"] = round(v, 4)
 
     # bf16 trunk + s2d stem are the attack-CLI defaults (effectiveness /
     # exactness asserted in tests/test_stereo_rcnn.py), so they are the
