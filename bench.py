@@ -750,6 +750,13 @@ def main():
     # chip the host pipeline sustains.
     import gc
     gc.collect()
+    # srcnn first: it is the more contention-sensitive of the two
+    # (measured 0.48 when run after the DSGN sweep vs 1.31 standalone)
+    v = run("srcnn_e2e",
+            lambda: bench_srcnn_e2e_sweep(args.tiny, args.e2e_frames))
+    if v:
+        extra["srcnn_pgd_sweep_pairs_per_sec_e2e"] = round(v, 4)
+    gc.collect()
     v = run("dsgn_e2e",
             lambda: bench_dsgn_e2e_sweep(args.tiny, args.e2e_frames))
     if v:
@@ -760,11 +767,6 @@ def main():
             # the baseline unit is attack-iters/s; a 4-iter e2e pair = 4
             extra["dsgn_e2e_vs_baseline"] = round(
                 v * 4 / REFERENCE_ITERS_PER_SEC, 1)
-    gc.collect()
-    v = run("srcnn_e2e",
-            lambda: bench_srcnn_e2e_sweep(args.tiny, args.e2e_frames))
-    if v:
-        extra["srcnn_pgd_sweep_pairs_per_sec_e2e"] = round(v, 4)
 
     # same attack step with the fused Pallas depth-tap conv replacing the
     # transpose-form depth stages (ops/pallas_depthconv.py) — recorded
