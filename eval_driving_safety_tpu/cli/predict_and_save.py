@@ -97,13 +97,16 @@ def _composite(args, imgs_l, imgs_r, radius_shift=-64.0):
 
 
 def run_dsgn(args):
-    from eval_driving_safety_tpu.data.dataset import prepare_dsgn_batch
+    from eval_driving_safety_tpu.data.dataset import (prepare_dsgn_batch_u8,
+                                                      u8_to_01)
     from eval_driving_safety_tpu.data.kitti import write_detections
     from eval_driving_safety_tpu.inference.fcos3d_post import (
         decode_bev_outputs, detections_to_kitti)
     cfg = make_dsgn_cfg(args)
     model, params = make_dsgn_model(args, cfg)
-    ds = make_dataset(args)
+    # raw u8 uploads (4x less host->device traffic); [0,1] conversion
+    # happens on device (bit-identical to the host load, data.dataset)
+    ds = make_dataset(args, dtype="uint8")
     mean = np.asarray(cfg.input.mean, np.float32)
     std = np.asarray(cfg.input.std, np.float32)
     mpath = metrics_path(args.result_dir)
@@ -126,10 +129,12 @@ def run_dsgn(args):
         return decode_bev_outputs(out, cfg), out["depth_preds"][-1], \
             state["intermediates"]
 
+    to01 = jax.jit(u8_to_01)
     for samples in ds.batches(args.batch):
-        b = prepare_dsgn_batch(samples, cfg.input, depth_dir=args.depth_dir)
-        il = jnp.asarray(b["im_left_01"])
-        ir = jnp.asarray(b["im_right_01"])
+        b = prepare_dsgn_batch_u8(samples, cfg.input,
+                                  depth_dir=args.depth_dir)
+        il = to01(jnp.asarray(b["im_left_u8"]))
+        ir = to01(jnp.asarray(b["im_right_u8"]))
         if args.patch_npy:
             il, ir = _composite(args, il, ir)
         if args.save_input_dir:
@@ -201,7 +206,7 @@ def run_dsgn(args):
 
 
 def run_srcnn(args):
-    from eval_driving_safety_tpu.data.dataset import prepare_srcnn_batch
+    from eval_driving_safety_tpu.data.dataset import prepare_srcnn_batch_u8
     from eval_driving_safety_tpu.data.kitti import write_detections
     from eval_driving_safety_tpu.inference.stereo_rcnn_predict import \
         predict_image
@@ -214,9 +219,22 @@ def run_srcnn(args):
     # --fp32 restores the checkpoint-parity trunk
     cfg = make_srcnn_cfg(args, default_bf16=True)
     model = StereoRCNN(cfg)
-    ds = make_dataset(args)
+    # raw u8 uploads + on-device exact integer resize (data.exact_resize):
+    # the old path resized ON DEVICE and pulled the floats back before
+    # re-uploading (~57 MB/frame of link traffic); host-side copies for
+    # the dense-align refinement now come from the bit-identical host
+    # twin instead of a 28 MB/frame fetch
+    ds = make_dataset(args, dtype="uint8")
     params = None
     mpath = metrics_path(args.result_dir)
+    means = np.asarray(cfg.input.pixel_means_bgr, np.float32)
+
+    @jax.jit
+    def ingest(u8l, u8r, wargs):
+        from eval_driving_safety_tpu.data.dataset import \
+            srcnn_clean01_device
+        return (srcnn_clean01_device(wargs, u8l) * 255.0 - means,
+                srcnn_clean01_device(wargs, u8r) * 255.0 - means)
 
     @jax.jit
     def infer(params, il, ir):
@@ -231,9 +249,11 @@ def run_srcnn(args):
         return out, state["intermediates"]
 
     for samples in ds.batches(args.batch):
-        b = prepare_srcnn_batch(samples, cfg.input)
-        il = jnp.asarray(b["im_left"])
-        ir = jnp.asarray(b["im_right"])
+        b = prepare_srcnn_batch_u8(samples, cfg.input)
+        wargs = {k: jnp.asarray(b[k]) for k in ("ih", "iw", "den_h",
+                                                "den_w", "wmask", "c")}
+        il, ir = ingest(jnp.asarray(b["im_left_u8"]),
+                        jnp.asarray(b["im_right_u8"]), wargs)
         if args.patch_npy:
             il, ir = _composite(args, il, ir)
         if args.save_input_dir:
@@ -259,9 +279,18 @@ def run_srcnn(args):
                                 b["frame_ids"]) else arr)
         else:
             out = infer(params, il, ir)
+        if args.patch_npy:
+            # composited pixels exist only on device: fetch them
+            il_host, ir_host = np.asarray(il), np.asarray(ir)
+        else:
+            from eval_driving_safety_tpu.data.dataset import \
+                srcnn_clean01_host
+            cl01, cr01 = srcnn_clean01_host(b)
+            il_host = cl01 * 255.0 - means
+            ir_host = cr01 * 255.0 - means
         for i, fid in enumerate(b["frame_ids"]):
             scale = float(b["scales"][i])
-            dets = predict_image(out, np.asarray(il[i]), np.asarray(ir[i]),
+            dets = predict_image(out, il_host[i], ir_host[i],
                                  b["calibs"][i], cfg,
                                  image_hw=b["orig_hw"][i],
                                  batch_index=i, image_scale=scale)
@@ -275,10 +304,8 @@ def run_srcnn(args):
                                   for d in dets]  # panel is network-scale
                 save_detection_panel(
                     os.path.join(args.result_dir, "refer", fid + ".png"),
-                    srcnn_to_rgb01(np.asarray(il[i]),
-                                   cfg.input.pixel_means_bgr),
-                    srcnn_to_rgb01(np.asarray(ir[i]),
-                                   cfg.input.pixel_means_bgr),
+                    srcnn_to_rgb01(il_host[i], cfg.input.pixel_means_bgr),
+                    srcnn_to_rgb01(ir_host[i], cfg.input.pixel_means_bgr),
                     dets_net_scale, vis_thresh=args.vis_thresh)
         log(f"exported {len(samples)} frames")
     _maybe_eval_ap(args, ds, mpath)
