@@ -97,14 +97,16 @@ def make_detector_optimizer(sched):
 
 def run_dsgn(args):
     from eval_driving_safety_tpu.data.dataset import (dsgn_boxes3d,
-                                                      prepare_dsgn_batch)
+                                                      prepare_dsgn_batch_u8,
+                                                      u8_to_01)
     from eval_driving_safety_tpu.models.dsgn import DSGN
     from eval_driving_safety_tpu.models.rpn3d_loss import dsgn_total_loss
     latest_epoch_dir, restore_checkpoint, save_checkpoint = _ckpt_io()
 
     cfg = DSGNConfig.tiny() if args.tiny else DSGNConfig()
     model = DSGN(cfg)
-    ds = make_dataset(args)
+    # raw u8 uploads; conversion + normalization happen in-jit
+    ds = make_dataset(args, dtype="uint8")
     ckpt_dir = args.ckpt_dir or "dsgn_ckpts"
     mean = np.asarray(cfg.input.mean, np.float32)
     std = np.asarray(cfg.input.std, np.float32)
@@ -114,7 +116,10 @@ def run_dsgn(args):
     tx = make_detector_optimizer(sched)
 
     @jax.jit
-    def train_step(params, opt_state, il, ir, calib, depth, boxes, nb):
+    def train_step(params, opt_state, il_u8, ir_u8, calib, depth, boxes,
+                   nb):
+        il, ir = u8_to_01(il_u8), u8_to_01(ir_u8)
+
         def loss_fn(p):
             out = model.apply(p, (il - mean) / std, (ir - mean) / std,
                               *calib)
@@ -131,16 +136,16 @@ def run_dsgn(args):
     for epoch in range(args.epochs):
         losses = []
         for samples in ds.batches(args.batch, drop_remainder=True):
-            b = prepare_dsgn_batch(samples, cfg.input,
-                                   depth_dir=args.depth_dir)
+            b = prepare_dsgn_batch_u8(samples, cfg.input,
+                                      depth_dir=args.depth_dir)
             g = dsgn_boxes3d(samples)
             calib = tuple(jnp.asarray(b[k]) for k in
                           ("f_u", "baseline", "c_u", "c_v"))
             if params is None:
+                norm0 = (u8_to_01(b["im_left_u8"][:1]) - mean) / std
                 params = jax.jit(model.init)(
                     jax.random.PRNGKey(args.seed),
-                    jnp.asarray(b["im_left"][:1]),
-                    jnp.asarray(b["im_right"][:1]),
+                    jnp.asarray(norm0), jnp.asarray(norm0),
                     *(c[:1] for c in calib))
                 opt_state = tx.init(params)
                 if args.resume:
@@ -153,8 +158,8 @@ def run_dsgn(args):
                         start_epoch = int(ck["epoch"])
                         log(f"resumed from {newest} (epoch {start_epoch})")
             params, opt_state, total = train_step(
-                params, opt_state, jnp.asarray(b["im_left_01"]),
-                jnp.asarray(b["im_right_01"]), calib,
+                params, opt_state, jnp.asarray(b["im_left_u8"]),
+                jnp.asarray(b["im_right_u8"]), calib,
                 jnp.asarray(b["depth_gt"]), jnp.asarray(g["boxes3d"]),
                 jnp.asarray(g["num_boxes"]))
             losses.append(float(total))
@@ -172,15 +177,18 @@ def run_srcnn(args):
     loss sum_i loss_i*exp(-u_i) + u_i — the multi-task weighting whose
     learned `uncert` the published checkpoint ships
     (/root/reference/attack/Stereo-RCNN/pgd_attack.py:96)."""
-    from eval_driving_safety_tpu.data.dataset import prepare_srcnn_batch
+    from eval_driving_safety_tpu.data.dataset import (
+        prepare_srcnn_batch_u8, srcnn_clean01_device, srcnn_clean01_host)
     from eval_driving_safety_tpu.models.stereo_rcnn import (
         StereoRCNN, make_gt_batch, total_attack_loss)
     latest_epoch_dir, restore_checkpoint, save_checkpoint = _ckpt_io()
 
     cfg = StereoRCNNConfig.tiny() if args.tiny else StereoRCNNConfig()
     model = StereoRCNN(cfg)
-    ds = make_dataset(args)
+    # raw u8 uploads + on-device exact integer resize (data.exact_resize)
+    ds = make_dataset(args, dtype="uint8")
     ckpt_dir = args.ckpt_dir or "srcnn_ckpts"
+    means_bgr = np.asarray(cfg.input.pixel_means_bgr, np.float32)
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, args.warmup_steps,
         max(args.epochs * max(len(ds) // args.batch, 1), args.warmup_steps + 1))
@@ -190,7 +198,11 @@ def run_srcnn(args):
     # neither receive optimizer updates nor be baked into the jitted
     # program as literals (see models/stereo_rcnn.py anchor_table note)
     @jax.jit
-    def train_step(state, constants, opt_state, il, ir, gt, rng):
+    def train_step(state, constants, opt_state, il_u8, ir_u8, wargs, gt,
+                   rng):
+        il = srcnn_clean01_device(wargs, il_u8) * 255.0 - means_bgr
+        ir = srcnn_clean01_device(wargs, ir_u8) * 255.0 - means_bgr
+
         def loss_fn(st):
             out = model.apply({"params": st["params"], **constants},
                               il, ir, gt=gt, rng=rng, mode="attack")
@@ -207,16 +219,19 @@ def run_srcnn(args):
     for epoch in range(args.epochs):
         losses = []
         for samples in ds.batches(args.batch, drop_remainder=True):
-            b = prepare_srcnn_batch(samples, cfg.input)
+            b = prepare_srcnn_batch_u8(samples, cfg.input)
             gt = make_gt_batch(b["objects"], b["calibs"], cfg,
                                image_scale=b["scales"])
+            wargs = {k: jnp.asarray(b[k]) for k in ("ih", "iw", "den_h",
+                                                    "den_w", "wmask", "c")}
             if state is None:
+                cl0, cr0 = srcnn_clean01_host(b)
                 variables = jax.jit(
                     lambda il, ir, g, r: model.init(
                         jax.random.PRNGKey(args.seed), il, ir, gt=g, rng=r,
                         mode="attack"))(
-                    jnp.asarray(b["im_left"][:1]),
-                    jnp.asarray(b["im_right"][:1]),
+                    jnp.asarray(cl0[:1] * 255.0 - means_bgr),
+                    jnp.asarray(cr0[:1] * 255.0 - means_bgr),
                     jax.tree_util.tree_map(lambda x: x[:1], gt), rng)
                 variables = dict(variables)
                 constants = {k: v for k, v in variables.items()
@@ -238,8 +253,9 @@ def run_srcnn(args):
                         log(f"resumed from {newest} (epoch {start_epoch})")
             rng, step_rng = jax.random.split(rng)
             state, opt_state, total, parts = train_step(
-                state, constants, opt_state, jnp.asarray(b["im_left"]),
-                jnp.asarray(b["im_right"]), gt, step_rng)
+                state, constants, opt_state,
+                jnp.asarray(b["im_left_u8"]),
+                jnp.asarray(b["im_right_u8"]), wargs, gt, step_rng)
             losses.append(float(total))
         e = start_epoch + epoch + 1
         log(f"epoch {e}: loss {np.mean(losses):.4f} "
