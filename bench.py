@@ -287,8 +287,39 @@ def _make_synthetic_kitti(root: str, n_frames: int, h: int, w: int) -> None:
                                  np.array([0.5, 1.6, 12.0]), 0.3)])
 
 
+class StageTimer:
+    """Thread-safe cumulative per-stage wall time for the e2e sweeps —
+    the decomposition that says WHERE the residue vs the pure device rate
+    goes (VERDICT r4 #1). Stage times overlap across threads, so they sum
+    to more than the wall clock; each is the total time that stage kept
+    some thread (or the link) busy."""
+
+    def __init__(self):
+        import threading
+        self.t = {}
+        self._lock = threading.Lock()
+
+    def __call__(self, name):
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            t0 = time.perf_counter()
+            try:
+                yield
+            finally:
+                dt = time.perf_counter() - t0
+                with self._lock:
+                    self.t[name] = self.t.get(name, 0.0) + dt
+        return cm()
+
+    def per_frame_ms(self, n_frames: int) -> dict:
+        return {k: round(v * 1000.0 / n_frames, 1)
+                for k, v in sorted(self.t.items())}
+
+
 def bench_dsgn_e2e_sweep(tiny: bool, n_frames: int = 12,
-                         n_iters: int = 4) -> float:
+                         n_iters: int = 4):
     """END-TO-END PGD sweep throughput in stereo PAIRS/s: PNG decode ->
     4-iter attack -> save all (iters+1) x 2 PNGs, with the prefetching
     loader and async uint8 writer overlapping host IO against the device —
@@ -349,28 +380,46 @@ def bench_dsgn_e2e_sweep(tiny: bool, n_frames: int = 12,
         replayer = cf.ThreadPoolExecutor(max_workers=2)
         pending = []
         ident = lambda x: x
+        stage = StageTimer()
 
-        def run_batch(samples, writer):
-            b = prepare_dsgn_batch_u8(samples, cfg.input)
-            g = dsgn_boxes3d(samples)
-            calib = tuple(jnp.asarray(b[k]) for k in
-                          ("f_u", "baseline", "c_u", "c_v"))
-            losses, traj = attack(params, jnp.asarray(b["im_left_u8"]),
-                                  jnp.asarray(b["im_right_u8"]), calib,
-                                  jnp.asarray(g["boxes3d"]),
-                                  jnp.asarray(g["num_boxes"]))
+        def prep(samples):
+            # decode arrives already done (self.get inside the worker);
+            # this times pad/calib/gt assembly in the prefetch worker
+            with stage("prep_worker"):
+                return (prepare_dsgn_batch_u8(samples, cfg.input),
+                        dsgn_boxes3d(samples))
+
+        def run_batch(prepared, writer):
+            b, g = prepared
+            with stage("dispatch"):
+                calib = tuple(jnp.asarray(b[k]) for k in
+                              ("f_u", "baseline", "c_u", "c_v"))
+                losses, traj = attack(params, jnp.asarray(b["im_left_u8"]),
+                                      jnp.asarray(b["im_right_u8"]), calib,
+                                      jnp.asarray(g["boxes3d"]),
+                                      jnp.asarray(g["num_boxes"]))
             if writer is None:
                 np.asarray(traj[0])        # warmup: force the fetch
                 return
 
             def job(b=b, pl=traj[0], pr=traj[1]):
-                save_sweep_from_signs(
-                    b, b["im_left_u8"], b["im_right_u8"],
-                    pl, pr, os.path.join(out, "dsgn_pgd"), ident, writer,
-                    space_255=True, **kw)
+                with stage("replay_save"):
+                    save_sweep_from_signs(
+                        b, b["im_left_u8"], b["im_right_u8"],
+                        pl, pr, os.path.join(out, "dsgn_pgd"), ident,
+                        writer, space_255=True, **kw)
+            if len(pending) >= 3:          # backpressure (ADVICE r4 #2)
+                pending.pop(0).result()
             pending.append(replayer.submit(job))
 
-        first = [ds.get(0)]
+        orig_get = ds.get
+
+        def timed_get(i):
+            with stage("decode"):
+                return orig_get(i)
+        ds.get = timed_get
+
+        first = [orig_get(0)]
         b0 = prepare_dsgn_batch_u8(first, cfg.input)
         calib0 = tuple(jnp.asarray(b0[k])
                        for k in ("f_u", "baseline", "c_u", "c_v"))
@@ -378,7 +427,8 @@ def bench_dsgn_e2e_sweep(tiny: bool, n_frames: int = 12,
         params = jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.asarray(norm0),
             jnp.asarray(norm0), *calib0)
-        run_batch(first, None)             # compile warmup, untimed
+        run_batch(prep(first), None)       # compile warmup, untimed
+        stage.t.clear()                    # drop warmup/compile from stages
 
         # freeze cyclic GC for the timed region: in a full-suite process
         # the collector walks a huge live graph on the 1-core host and
@@ -390,13 +440,19 @@ def bench_dsgn_e2e_sweep(tiny: bool, n_frames: int = 12,
         try:
             t0 = time.perf_counter()
             writer = AsyncImageWriter(workers=3, compress_level=0)
-            for samples in ds.batches(1, prefetch=2, io_workers=4):
-                run_batch(samples, writer)
+            for prepared in ds.batches(1, prefetch=2, io_workers=4,
+                                       prepare=prep):
+                run_batch(prepared, writer)
             for f in pending:
                 f.result()
             writer.close()
             replayer.shutdown()
-            return n_frames / (time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            stages = stage.per_frame_ms(n_frames)
+            stages["encode_write"] = round(
+                writer.write_seconds * 1000.0 / n_frames, 1)
+            stages["wall"] = round(wall * 1000.0 / n_frames, 1)
+            return n_frames / wall, stages
         finally:
             gc.enable()
     finally:
@@ -405,7 +461,7 @@ def bench_dsgn_e2e_sweep(tiny: bool, n_frames: int = 12,
 
 
 def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
-                          n_iters: int = 4) -> float:
+                          n_iters: int = 4):
     """Stereo R-CNN twin of bench_dsgn_e2e_sweep (the reference sweep at
     /root/reference/attack/Stereo-RCNN/pgd_attack.py:126-243): decode ->
     resize to 600-scale -> 4-iter PGD on the 6-term loss -> save all
@@ -466,11 +522,19 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
         ident = lambda x: x
         replayer = cf.ThreadPoolExecutor(max_workers=2)
         pending = []
+        stage = StageTimer()
 
-        def run_batch(samples, writer, params):
-            b = prepare_srcnn_batch_u8(samples, cfg.input)
-            gt = make_gt_batch(b["objects"], b["calibs"], cfg,
-                               image_scale=b["scales"])
+        def prep(samples):
+            # resize weights + gt assembly in the prefetch worker, off the
+            # dispatch thread (VERDICT r4 #1)
+            with stage("prep_worker"):
+                b = prepare_srcnn_batch_u8(samples, cfg.input)
+                gt = make_gt_batch(b["objects"], b["calibs"], cfg,
+                                   image_scale=b["scales"])
+                return b, gt
+
+        def run_batch(prepared, writer, params):
+            b, gt = prepared
             wargs = {k: b[k] for k in ("ih", "iw", "den_h", "den_w",
                                        "wmask", "c")}
             K = b["den_h"].astype(np.float64) * b["den_w"]
@@ -487,11 +551,13 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
                 from eval_driving_safety_tpu.models.common import \
                     cast_matmul_params
                 params = cast_matmul_params(params)
-            losses, traj = attack(params, jnp.asarray(b["im_left_u8"]),
-                                  jnp.asarray(b["im_right_u8"]), wargs, gt,
-                                  jnp.asarray(alpha_v), jnp.asarray(eps_v),
-                                  jnp.asarray(max_v),
-                                  jnp.asarray(b["c255"]))
+            with stage("dispatch"):
+                losses, traj = attack(params, jnp.asarray(b["im_left_u8"]),
+                                      jnp.asarray(b["im_right_u8"]), wargs,
+                                      gt, jnp.asarray(alpha_v),
+                                      jnp.asarray(eps_v),
+                                      jnp.asarray(max_v),
+                                      jnp.asarray(b["c255"]))
             if writer is None:
                 np.asarray(traj[0])
                 return params
@@ -499,38 +565,62 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
             def job(b=b, pl=traj[0], pr=traj[1], K=K):
                 from eval_driving_safety_tpu.attack.replay_native import \
                     replay_sweep_u8
-                v2l, v2r = srcnn_cleanv_host(b)
-                pl_, pr_ = fetch_np(pl), fetch_np(pr)
+                with stage("cleanv_host"):
+                    v2l, v2r = srcnn_cleanv_host(b)
+                with stage("fetch_signs"):
+                    pl_, pr_ = fetch_np(pl), fetch_np(pr)
                 a2i = (2 * K).astype(np.int64)
                 e2i = (153 * K).astype(np.int64)
                 m2i = (510 * K).astype(np.int64)
-                nat_l = replay_sweep_u8(v2l * 2, pl_, alpha2=a2i, eps2=e2i,
-                                        max2=m2i, c255=b["c255"],
-                                        flip_channels=True)
-                nat_r = replay_sweep_u8(v2r * 2, pr_, alpha2=a2i, eps2=e2i,
-                                        max2=m2i, c255=b["c255"],
-                                        flip_channels=True)
-                q0 = (quantize_v_batch_u8(v2l, b["c255"]),
-                      quantize_v_batch_u8(v2r, b["c255"]))
-                save_sweep(b, q0, zip(nat_l, nat_r),
-                           os.path.join(out, "srcnn_pgd"), ident, writer)
+                with stage("replay"):
+                    nat_l = replay_sweep_u8(v2l * 2, pl_, alpha2=a2i,
+                                            eps2=e2i, max2=m2i,
+                                            c255=b["c255"],
+                                            flip_channels=True)
+                    nat_r = replay_sweep_u8(v2r * 2, pr_, alpha2=a2i,
+                                            eps2=e2i, max2=m2i,
+                                            c255=b["c255"],
+                                            flip_channels=True)
+                with stage("quantize_clean"):
+                    q0 = (quantize_v_batch_u8(v2l, b["c255"]),
+                          quantize_v_batch_u8(v2r, b["c255"]))
+                with stage("save_enqueue"):
+                    save_sweep(b, q0, zip(nat_l, nat_r),
+                               os.path.join(out, "srcnn_pgd"), ident,
+                               writer)
+            if len(pending) >= 3:          # backpressure (ADVICE r4 #2)
+                pending.pop(0).result()
             pending.append(replayer.submit(job))
             return params
 
-        params = run_batch([ds.get(0)], None, None)   # compile, untimed
+        orig_get = ds.get
+
+        def timed_get(i):
+            with stage("decode"):
+                return orig_get(i)
+        ds.get = timed_get
+
+        params = run_batch(prep([orig_get(0)]), None, None)  # compile
+        stage.t.clear()                    # drop warmup/compile from stages
         import gc
         gc.collect()
         gc.disable()          # see the dsgn e2e note on GC vs timed loops
         try:
             t0 = time.perf_counter()
             writer = AsyncImageWriter(workers=2, compress_level=0)
-            for samples in ds.batches(1, prefetch=2, io_workers=4):
-                run_batch(samples, writer, params)
+            for prepared in ds.batches(1, prefetch=2, io_workers=4,
+                                       prepare=prep):
+                run_batch(prepared, writer, params)
             for f in pending:
                 f.result()
             writer.close()
             replayer.shutdown()
-            return n_frames / (time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            stages = stage.per_frame_ms(n_frames)
+            stages["encode_write"] = round(
+                writer.write_seconds * 1000.0 / n_frames, 1)
+            stages["wall"] = round(wall * 1000.0 / n_frames, 1)
+            return n_frames / wall, stages
         finally:
             gc.enable()
     finally:
@@ -771,18 +861,23 @@ def main():
     v = run("srcnn_e2e",
             lambda: bench_srcnn_e2e_sweep(args.tiny, args.e2e_frames))
     if v:
-        extra["srcnn_pgd_sweep_pairs_per_sec_e2e"] = round(v, 4)
+        rate, stages = v
+        extra["srcnn_pgd_sweep_pairs_per_sec_e2e"] = round(rate, 4)
+        extra["srcnn_e2e_stages_ms_per_frame"] = stages
     gc.collect()
     v = run("dsgn_e2e",
             lambda: bench_dsgn_e2e_sweep(args.tiny, args.e2e_frames))
     if v:
-        extra["dsgn_pgd_sweep_pairs_per_sec_e2e"] = round(v, 4)
+        rate, stages = v
+        extra["dsgn_pgd_sweep_pairs_per_sec_e2e"] = round(rate, 4)
+        extra["dsgn_e2e_stages_ms_per_frame"] = stages
         if headline:
-            extra["dsgn_e2e_vs_device_ratio"] = round(v / (headline / 4), 4)
+            extra["dsgn_e2e_vs_device_ratio"] = round(
+                rate / (headline / 4), 4)
         if not args.tiny:
             # the baseline unit is attack-iters/s; a 4-iter e2e pair = 4
             extra["dsgn_e2e_vs_baseline"] = round(
-                v * 4 / REFERENCE_ITERS_PER_SEC, 1)
+                rate * 4 / REFERENCE_ITERS_PER_SEC, 1)
 
     # same attack step with the fused Pallas depth-tap conv replacing the
     # transpose-form depth stages (ops/pallas_depthconv.py) — recorded

@@ -88,15 +88,24 @@ def composite_patch(img, patch, center):
     d = patch.shape[0]
     r = d // 2
     c = img.shape[-1]
+    h, w = img.shape[0], img.shape[1]
     mask = circular_mask(d).astype(img.dtype)
-    # in padded coordinates the window start is exactly the center
-    padded = jnp.pad(img, ((r, r), (r, r), (0, 0)))
-    y0 = jnp.clip(center[0], -r, img.shape[0] - 1 + r)
-    x0 = jnp.clip(center[1], -r, img.shape[1] - 1 + r)
+    # Pad by 2r so every PARTIALLY-visible center (in [-r, size-1+r]) maps to
+    # a non-negative window start `center + r` — lax.dynamic_slice treats
+    # negative starts as counting from the end (numpy semantics), which would
+    # wrap a left-clipped right-view patch onto the RIGHT edge. Centers fully
+    # off-image are handled by zeroing the mask instead of relying on start
+    # clamping (clamping would smear the circle's rim onto the border).
+    padded = jnp.pad(img, ((2 * r, 2 * r), (2 * r, 2 * r), (0, 0)))
+    y0 = jnp.clip(center[0] + r, 0, h + 2 * r - 1)
+    x0 = jnp.clip(center[1] + r, 0, w + 2 * r - 1)
+    visible = ((center[0] >= -r) & (center[0] <= h - 1 + r)
+               & (center[1] >= -r) & (center[1] <= w - 1 + r))
+    mask = mask * visible.astype(img.dtype)
     window = jax.lax.dynamic_slice(padded, (y0, x0, 0), (d, d, c))
     merged = (1.0 - mask) * window + mask * patch.astype(img.dtype)
     padded = jax.lax.dynamic_update_slice(padded, merged, (y0, x0, 0))
-    return padded[r:r + img.shape[0], r:r + img.shape[1]]
+    return padded[2 * r:2 * r + h, 2 * r:2 * r + w]
 
 
 def composite_patch_batch(imgs, patch, centers):

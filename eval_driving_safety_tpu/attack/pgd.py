@@ -159,14 +159,46 @@ def replay_255_valid(alpha, eps, clip_min, clip_max) -> bool:
         return False
 
 
+def srcnn_replay_intable(a_pix, e_pix, K) -> bool:
+    """True when the doubled-integer replay (`replay_pgd_ints` / the native
+    sweep kernel) is bit-exact for a v-space attack with per-sample scale
+    K = den_h*den_w (clean values = K*255*bgr01, exact integers).
+
+    Exactness requires every f32 value the DEVICE produces to be exactly
+    representable. With alpha_v = a_pix*K and eps_v = e_pix*K both integers
+    (2*a_pix*K and 2*e_pix*K even), all iterates, deltas and clip bounds
+    live on the INTEGER grid, exact below 2^24; with half-integer alpha/eps
+    (the doubled values merely integral) the grid halves and the bound is
+    2^23. The largest intermediate that must be exact is
+    max((255 + a_pix)*K, e_pix*K) — the pre-clip step x + alpha*sign and
+    the eps-ball radius. The upper ball bound clean + eps MAY exceed the
+    limit, but only when it also exceeds clip_max = 255*K, where the final
+    range clamp absorbs its rounding (min(x', round(ub)) == x' whenever
+    round(ub) > clip_max + alpha >= x'). At reference paper scale
+    (K = 16*3974 = 63584, alpha=1, eps=76.5) this passes the 2^24 even-grid
+    gate — the earlier 2^23 gate silently forced the slow f32 replay for
+    every paper-scale sweep (ADVICE r4 #3)."""
+    K = np.asarray(K, np.float64)
+    a2 = np.asarray(2.0 * a_pix * K)
+    e2 = np.asarray(2.0 * e_pix * K)
+    a2r, e2r = np.rint(a2), np.rint(e2)
+    if not (np.all(a2 == a2r) and np.all(e2 == e2r)):
+        return False
+    even = bool(np.all(a2r % 2 == 0) and np.all(e2r % 2 == 0))
+    lim = 2.0 ** 24 if even else 2.0 ** 23
+    big = float(np.maximum((255.0 + a_pix) * K, e_pix * K).max())
+    return big < lim
+
+
 def replay_pgd_ints(clean2_left: np.ndarray, clean2_right: np.ndarray,
                     packed_left: np.ndarray, packed_right: np.ndarray, *,
                     alpha2, eps2, clip_max2):
     """Doubled-integer replay for grid attack spaces.
 
-    When alpha, 2*eps and clip_max are integers (per sample allowed) and
-    clip_max + eps < 2^23, every f32 iterate of the device attack lives
-    exactly on the half-integer grid (all update ops are exact), so the
+    When `srcnn_replay_intable` holds (integer/half-integer alpha_v, eps_v
+    with all device intermediates under the f32-exact grid bound — 2^24 on
+    the integer grid, 2^23 on the half grid), every f32 iterate of the
+    device attack lives exactly on the half-integer grid, so the
     trajectory is tracked as DOUBLED int32 values. Inputs/outputs are
     2x-scaled: clean2 = 2*clean (int32), alpha2/eps2/clip_max2 = doubled
     scalars or (B,) arrays. Yields (v2_left, v2_right) int32 pairs per

@@ -25,13 +25,19 @@ _failed = False
 
 def _build() -> bool:
     src = os.path.join(_NATIVE_DIR, "sweep_replay.cpp")
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", src, "-o", _LIB_PATH],
-            check=True, capture_output=True)
-        return True
-    except Exception:
-        return False
+    # -march=native: the lib is built at first use ON the host that runs
+    # it, so native SIMD (AVX2/AVX-512 on the driver hosts) is always
+    # safe and lets gcc vectorize the replay's update/quantize loop;
+    # fall back to plain -O3 for toolchains without the flag
+    for flags in (["-O3", "-march=native", "-funroll-loops"], ["-O3"]):
+        try:
+            subprocess.run(
+                ["g++", *flags, "-shared", "-fPIC", src, "-o", _LIB_PATH],
+                check=True, capture_output=True)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def get_native():
@@ -49,6 +55,9 @@ def get_native():
         lib.replay_sweep_u8.restype = None
         lib.resize_v2_i32.restype = None
         lib.quantize_v_u8.restype = None
+        lib.png_store_write.restype = ctypes.c_int
+        lib.png_store_encode.restype = ctypes.c_long
+        lib.png_store_bound.restype = ctypes.c_long
         _lib = lib
     except (OSError, AttributeError):
         _failed = True
@@ -102,6 +111,32 @@ def quantize_v_u8(v: np.ndarray, c255: float, flip_channels: bool):
         ctypes.c_int(1 if flip_channels else 0),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out
+
+
+def png_store_write(path: str, arr: np.ndarray) -> bool:
+    """One-pass native stored-mode PNG write of (H,W,3) RGB or (H,W)/
+    (H,W,1) grayscale uint8 pixels (adler32 fused into the scanline copy,
+    slice-by-8 crc32, single fwrite). Accepts row-strided views (e.g.
+    width crops) without a copy. Returns False when the native library is
+    unavailable or the write failed — callers fall back to the Python
+    zlib writer (data.kitti.write_png_store, bit-identical pixels)."""
+    lib = get_native()
+    if lib is None:
+        return False
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[..., None]
+    if a.dtype != np.uint8 or a.ndim != 3 or a.shape[-1] not in (1, 3):
+        return False
+    # rows must be internally contiguous; the leading (row) stride is free
+    if a.strides[2] != 1 or a.strides[1] != a.shape[2]:
+        a = np.ascontiguousarray(a)
+    h, w, c = a.shape
+    rc = lib.png_store_write(
+        path.encode(), a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_long(a.strides[0]), ctypes.c_int(h), ctypes.c_int(w),
+        ctypes.c_int(c))
+    return rc == 0
 
 
 def replay_sweep_u8(clean2: np.ndarray, packed: np.ndarray,

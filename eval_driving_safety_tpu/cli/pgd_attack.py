@@ -91,6 +91,12 @@ def _shard_arrays(tree):
     return jax.tree_util.tree_map(put, tree)
 
 
+# max queued sign-replay jobs: each pins ~2 packed trajectories in HBM and
+# one decoded host batch, so a small cap keeps memory flat while still
+# overlapping replay/encode with the device attack (ADVICE r4 #2)
+_MAX_PENDING_REPLAYS = 3
+
+
 def _already_done(prefix: str, n_iters: int, frame_ids) -> bool:
     import os
     return all(os.path.exists(os.path.join(
@@ -172,17 +178,30 @@ def run_dsgn(args):
             save_sweep_from_signs(
                 b, b["im_left_u8"], b["im_right_u8"],
                 pl, pr, prefix, ident, writer, space_255=True, **kw)
+        # backpressure: each queued job pins device-resident packed sign
+        # trajectories + the host batch; bound in-flight replays so a long
+        # sweep on a slow host can't grow HBM/RAM without limit
+        if len(pending) >= _MAX_PENDING_REPLAYS:
+            pending.pop(0).result()
         pending.append(replayer.submit(job))
 
+    def _prep(samples):
+        # pure host batch prep — runs in the prefetch workers, overlapped
+        # with the previous batch's device dispatch (dataset.batches)
+        if args.resume and _already_done(prefix, args.iter,
+                                         [s.frame_id for s in samples]):
+            return None
+        return (prepare_dsgn_batch_u8(samples, cfg.input,
+                                      depth_dir=args.depth_dir),
+                dsgn_boxes3d(samples))
+
     try:
-        for samples in ds.batches(args.batch, prefetch=args.prefetch,
-                                  io_workers=args.io_workers):
-            if args.resume and _already_done(prefix, args.iter,
-                                             [s.frame_id for s in samples]):
+        for prepared in ds.batches(args.batch, prefetch=args.prefetch,
+                                   io_workers=args.io_workers,
+                                   prepare=_prep):
+            if prepared is None:                   # --resume skip
                 continue
-            b = prepare_dsgn_batch_u8(samples, cfg.input,
-                                      depth_dir=args.depth_dir)
-            g = dsgn_boxes3d(samples)
+            b, g = prepared
             im_l, im_r = b["im_left_u8"], b["im_right_u8"]
             if params is None:
                 norm1 = (u8_to_01(im_l[:1]) - mean) / std
@@ -228,7 +247,8 @@ def run_dsgn(args):
 
 def run_srcnn(args):
     from eval_driving_safety_tpu.attack.pgd import (pgd_attack, replay_pgd,
-                                                    replay_pgd_ints)
+                                                    replay_pgd_ints,
+                                                    srcnn_replay_intable)
     from eval_driving_safety_tpu.data.dataset import (
         fetch_np, prepare_srcnn_batch_u8, quantize_v_batch_u8,
         quantize_v_rgb_u8, save_attacked_images, save_sweep,
@@ -241,8 +261,10 @@ def run_srcnn(args):
     model = StereoRCNN(cfg)
     # attack space = the INTEGER resize scale ("v-space", data.dataset
     # srcnn_cleanv_*): clean = den_h*den_w*255 * bgr01 — exact integers
-    # < 2^23, so the default unit-pixel step keeps every iterate on the
-    # integer grid and the host sign replay is pure int32. Same ball and
+    # < 2^24 even at paper scale (K = 16*3974), so the default unit-pixel
+    # step keeps every iterate on the integer grid and the host sign
+    # replay is pure int32 (gate: attack.pgd.srcnn_replay_intable,
+    # exactness argument in its docstring). Same ball and
     # updates as the reference's mean-subtracted pixel space, scaled per
     # sample by den_h*den_w. --alpha/--eps stay in the reference's
     # BGR*255 pixel units (defaults 1.0 and 255*0.3).
@@ -286,6 +308,7 @@ def run_srcnn(args):
     import concurrent.futures as cf
     replayer = cf.ThreadPoolExecutor(max_workers=2)
     pending = []
+    _logged_path = set()
 
     def submit_replay(b, pl, pr, K, vkw):
         def job():
@@ -293,9 +316,13 @@ def run_srcnn(args):
             c255 = b["c255"]
             a2 = 2.0 * a_pix * K
             e2 = 2.0 * e_pix * K
-            intable = (np.all(a2 == np.rint(a2)) and
-                       np.all(e2 == np.rint(e2)) and
-                       float((255.0 * K + e_pix * K).max()) < 2 ** 23)
+            intable = srcnn_replay_intable(a_pix, e_pix, K)
+            if not _logged_path:
+                _logged_path.add(1)
+                log("host replay path: "
+                    + ("native/int (bit-exact integer grid)" if intable
+                       else "f32 per-iteration (non-grid alpha/eps or "
+                            "values past the f32-exact bound)"))
             pl_, pr_ = fetch_np(pl), fetch_np(pr)
             if intable:
                 from eval_driving_safety_tpu.attack.replay_native import \
@@ -329,27 +356,39 @@ def run_srcnn(args):
             q0 = (quantize_v_batch_u8(v2l, c255),
                   quantize_v_batch_u8(v2r, c255))
             save_sweep(b, q0, frames, prefix, ident, writer)
+        # backpressure: bound in-flight replays (see _MAX_PENDING_REPLAYS)
+        if len(pending) >= _MAX_PENDING_REPLAYS:
+            pending.pop(0).result()
         pending.append(replayer.submit(job))
 
+    def _prep(samples):
+        # pure host batch prep (resize weights + gt assembly) — runs in
+        # the prefetch workers, off the dispatch thread (VERDICT r4 #1)
+        if args.resume and _already_done(prefix, args.iter,
+                                         [s.frame_id for s in samples]):
+            return None
+        b = prepare_srcnn_batch_u8(samples, cfg.input)
+        gt = make_gt_batch(b["objects"], b["calibs"], cfg,
+                           image_scale=b["scales"])
+        K = b["den_h"].astype(np.float64) * b["den_w"]
+        vkw = dict(alpha=(a_pix * K).astype(np.float32)
+                   .reshape(-1, 1, 1, 1),
+                   eps=(e_pix * K).astype(np.float32)
+                   .reshape(-1, 1, 1, 1),
+                   clip_min=0.0,
+                   clip_max=(255.0 * K).astype(np.float32)
+                   .reshape(-1, 1, 1, 1))
+        return b, gt, K, vkw
+
     try:
-        for samples in ds.batches(args.batch, prefetch=args.prefetch,
-                                  io_workers=args.io_workers):
-            if args.resume and _already_done(prefix, args.iter,
-                                             [s.frame_id for s in samples]):
+        for prepared in ds.batches(args.batch, prefetch=args.prefetch,
+                                   io_workers=args.io_workers,
+                                   prepare=_prep):
+            if prepared is None:                   # --resume skip
                 continue
-            b = prepare_srcnn_batch_u8(samples, cfg.input)
-            gt = make_gt_batch(b["objects"], b["calibs"], cfg,
-                               image_scale=b["scales"])
+            b, gt, K, vkw = prepared
             wargs = {k: b[k] for k in ("ih", "iw", "den_h", "den_w",
                                        "wmask", "c")}
-            K = b["den_h"].astype(np.float64) * b["den_w"]
-            vkw = dict(alpha=(a_pix * K).astype(np.float32)
-                       .reshape(-1, 1, 1, 1),
-                       eps=(e_pix * K).astype(np.float32)
-                       .reshape(-1, 1, 1, 1),
-                       clip_min=0.0,
-                       clip_max=(255.0 * K).astype(np.float32)
-                       .reshape(-1, 1, 1, 1))
             c255 = b["c255"]
             if params is None:
                 v2l0, v2r0 = srcnn_cleanv_host(b)

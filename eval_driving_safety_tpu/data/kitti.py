@@ -261,9 +261,17 @@ def write_png_store(path: str, arr: np.ndarray) -> None:
     """Minimal stored-mode PNG writer for (H,W,3) uint8 RGB: filter-0
     scanlines in zlib stored blocks. ~4x faster than libpng's level-0
     encode (no row-filter heuristics), bit-identical pixels, decodable by
-    any PNG reader. The heavy steps (memcpy, adler32, crc32) run in
-    zlib's C code, which releases the GIL — so AsyncImageWriter threads
-    truly overlap the device."""
+    any PNG reader. Prefers the ONE-PASS native encoder
+    (native/sweep_replay.cpp png_store_write: adler32 fused into the
+    scanline copy, slice-by-8 crc32, one fwrite — another ~6x, and it
+    takes width-cropped views without a copy); this Python/zlib path is
+    the always-available fallback with identical pixels. Both release the
+    GIL for the heavy steps, so AsyncImageWriter threads truly overlap
+    the device."""
+    from eval_driving_safety_tpu.attack.replay_native import \
+        png_store_write as _native_png
+    if _native_png(path, arr):
+        return
     import struct
     import zlib
     h, w, c = arr.shape

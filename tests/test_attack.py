@@ -101,6 +101,37 @@ def test_composite_matches_reference_mask_formula():
         np.testing.assert_allclose(got, want, atol=1e-6, err_msg=str(c))
 
 
+def test_composite_negative_centers_no_wraparound():
+    """Right-view centers pushed past the left edge (col + disparity_shift
+    < 0 — reachable on widths < 320 where col_lo < 64) must clip at the
+    border, NOT wrap to the right edge (lax.dynamic_slice treats negative
+    starts as counting from the end). Covers partially-visible negative
+    centers and fully-off-image centers on both axes (ADVICE r4 #1)."""
+    rng = np.random.RandomState(1)
+    img = rng.rand(20, 20, 3).astype(np.float32)
+    patch = rng.rand(7, 7, 3).astype(np.float32)
+    centers = [
+        (10, -2),    # left-clipped: circle cols -5..1, partially visible
+        (10, -3),    # exactly radius off: only the rim column at col 0
+        (10, -4),    # fully off-image left: composite must be a no-op
+        (10, -60),   # far off-image (the -64px shift on a tiny width)
+        (-2, 10),    # top-clipped negative row
+        (-60, 10),   # far off-image top
+        (10, 22),    # right-clipped past the edge
+        (10, 60),    # far off-image right
+    ]
+    for c in centers:
+        want = _reference_mask_composite(img, patch, c)
+        got = np.asarray(composite_patch(
+            jnp.asarray(img), jnp.asarray(patch), jnp.asarray(c)))
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=str(c))
+        # no-wraparound invariant: a left-side center never touches the
+        # right half of the image
+        if c[1] < 0:
+            np.testing.assert_array_equal(got[:, 10:], img[:, 10:],
+                                          err_msg=str(c))
+
+
 def test_composite_edge_clip_gradient_flows_only_inside():
     """The patch gradient through a clipped composite covers only the
     in-image part of the circle — off-image patch pixels get zero grad."""

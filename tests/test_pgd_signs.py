@@ -163,6 +163,67 @@ def test_replay_ints_matches_f32_chain_per_sample_params():
                               dev_r), f"iter {k} right"
 
 
+def test_srcnn_replay_intable_gate():
+    """The integer-replay gate (ADVICE r4 #3): paper-scale K = 16*3974
+    with the default alpha=1/eps=76.5 lands on the even (integer) grid and
+    passes the 2^24 bound — the old 2^23 gate silently forced the slow
+    f32 replay for every paper-scale sweep. Odd K with eps=76.5 puts
+    iterates on the HALF grid where the bound tightens back to 2^23."""
+    from eval_driving_safety_tpu.attack.pgd import srcnn_replay_intable
+    K_paper = 16 * 3974                            # 63584, even
+    assert srcnn_replay_intable(1.0, 76.5, K_paper)
+    assert srcnn_replay_intable(1.0, 76.5, np.array([K_paper, 48.0]))
+    # odd K -> e2 = 153*K odd -> half grid -> (255+1)*K >= 2^23 -> reject
+    assert not srcnn_replay_intable(1.0, 76.5, 63585)
+    # odd K but small enough for the half grid -> accept
+    assert srcnn_replay_intable(1.0, 76.5, 33)
+    # non-grid alpha -> reject regardless of scale
+    assert not srcnn_replay_intable(0.3, 76.5, 48)
+    # even grid but past 2^24: (255+1)*K >= 2^24
+    assert not srcnn_replay_intable(1.0, 76.5, 2 ** 16)
+
+
+def test_replay_ints_matches_f32_chain_paper_scale_K():
+    """Bit-exactness of the doubled-int replay vs the device f32 chain AT
+    PAPER SCALE (K = 63584): clean values reach 255K = 16.21M, the
+    pre-clip step reaches 255K + K < 2^24, and the eps-ball upper bound
+    clean+eps exceeds 2^24 for bright pixels but is absorbed by the range
+    clamp — the exactness argument of srcnn_replay_intable, verified."""
+    from eval_driving_safety_tpu.attack.pgd import (replay_pgd_ints,
+                                                    srcnn_replay_intable)
+    K = 16 * 3974
+    assert srcnn_replay_intable(1.0, 76.5, float(K))
+    rng = np.random.RandomState(7)
+    shape = (1, 8, 16, 3)
+    # force bright pixels so clean+eps > 2^24 actually occurs
+    u8 = rng.randint(0, 256, shape)
+    u8.flat[:64] = 255
+    v = (u8 * K).astype(np.int64)
+    assert float((v + 76.5 * K).max()) > 2 ** 24
+    kw = dict(alpha=np.float32(1.0 * K), eps=np.float32(76.5 * K),
+              clip_min=0.0, clip_max=np.float32(255.0 * K))
+    n = 5
+    vf = jnp.asarray(v, jnp.float32)
+    res = jax.jit(lambda l, r: pgd_attack(
+        _toy_loss, l, r, num_iters=n, collect="signs", **kw))(vf, vf)
+    full = jax.jit(lambda l, r: pgd_attack(
+        _toy_loss, l, r, num_iters=n, collect=True, **kw))(vf, vf)
+    pl = np.asarray(res.trajectory[0])
+    pr = np.asarray(res.trajectory[1])
+    frames = list(replay_pgd_ints(
+        (v * 2).astype(np.int64), (v * 2).astype(np.int64), pl, pr,
+        alpha2=2 * K, eps2=int(2 * 76.5 * K), clip_max2=510 * K))
+    for k in range(n):
+        dev_l = np.asarray(full.trajectory[0][k])
+        assert np.array_equal(frames[k][0].astype(np.float64) * 0.5,
+                              dev_l.astype(np.float64)), f"iter {k} left"
+        dev_r = np.asarray(full.trajectory[1][k])
+        assert np.array_equal(frames[k][1].astype(np.float64) * 0.5,
+                              dev_r.astype(np.float64)), f"iter {k} right"
+    # the range clamp actually engaged at the top (bright pixels ride it)
+    assert float(np.asarray(full.trajectory[0]).max()) == 255.0 * K
+
+
 def test_quantize_v_matches_device_formula():
     """Host quantize_v_rgb_u8 == the device branch bitwise (the CLI full
     vs signs byte-parity depends on it), over 4-d and 5-d stacks."""
