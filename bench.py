@@ -478,10 +478,10 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
                                                       KittiStereoDataset,
                                                       fetch_np,
                                                       prepare_srcnn_batch_u8,
-                                                      quantize_v_batch_u8,
                                                       save_sweep,
                                                       srcnn_cleanv_device,
-                                                      srcnn_cleanv_host)
+                                                      srcnn_cleanv_host,
+                                                      srcnn_cleanv_q0_host)
     from eval_driving_safety_tpu.models.stereo_rcnn import (
         StereoRCNN, make_gt_batch, total_attack_loss)
 
@@ -565,27 +565,25 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
             def job(b=b, pl=traj[0], pr=traj[1], K=K):
                 from eval_driving_safety_tpu.attack.replay_native import \
                     replay_sweep_u8
-                with stage("cleanv_host"):
-                    v2l, v2r = srcnn_cleanv_host(b)
+                with stage("cleanv_q0_host"):
+                    # fused native resize + iteration-0 quantize (one pass)
+                    v2l, v2r, q0l, q0r = srcnn_cleanv_q0_host(b)
                 with stage("fetch_signs"):
                     pl_, pr_ = fetch_np(pl), fetch_np(pr)
                 a2i = (2 * K).astype(np.int64)
                 e2i = (153 * K).astype(np.int64)
                 m2i = (510 * K).astype(np.int64)
                 with stage("replay"):
-                    nat_l = replay_sweep_u8(v2l * 2, pl_, alpha2=a2i,
+                    nat_l = replay_sweep_u8(v2l, pl_, alpha2=a2i,
                                             eps2=e2i, max2=m2i,
                                             c255=b["c255"],
                                             flip_channels=True)
-                    nat_r = replay_sweep_u8(v2r * 2, pr_, alpha2=a2i,
+                    nat_r = replay_sweep_u8(v2r, pr_, alpha2=a2i,
                                             eps2=e2i, max2=m2i,
                                             c255=b["c255"],
                                             flip_channels=True)
-                with stage("quantize_clean"):
-                    q0 = (quantize_v_batch_u8(v2l, b["c255"]),
-                          quantize_v_batch_u8(v2r, b["c255"]))
                 with stage("save_enqueue"):
-                    save_sweep(b, q0, zip(nat_l, nat_r),
+                    save_sweep(b, (q0l, q0r), zip(nat_l, nat_r),
                                os.path.join(out, "srcnn_pgd"), ident,
                                writer)
             if len(pending) >= 3:          # backpressure (ADVICE r4 #2)

@@ -54,6 +54,7 @@ def get_native():
         lib = ctypes.CDLL(_LIB_PATH)
         lib.replay_sweep_u8.restype = None
         lib.resize_v2_i32.restype = None
+        lib.resize_v2_q0.restype = None
         lib.quantize_v_u8.restype = None
         lib.png_store_write.restype = ctypes.c_int
         lib.png_store_encode.restype = ctypes.c_long
@@ -94,6 +95,43 @@ def resize_v2_i32(img_u8: np.ndarray, wh, ww, out_w: int):
     if crop is not out:
         out[:, :nw] = crop
     return out
+
+
+def resize_v2_q0(img_u8: np.ndarray, wh, ww, out_w: int, c255: float,
+                 flip_channels: bool = True):
+    """Fused native resize + clean quantize: returns (v int32 (out_h,
+    out_w, c) zero-padded past the crop, q0 u8 same shape — the
+    iteration-0 frame, = quantize_v_rgb_u8(v, c255) bitwise) in ONE pass;
+    None when the native library is unavailable."""
+    lib = get_native()
+    if lib is None or not hasattr(lib, "resize_v2_q0"):
+        return None
+    img = np.ascontiguousarray(img_u8, np.uint8)
+    h0, w0, c = img.shape
+    out_h, nw = len(wh.i0), len(ww.i0)
+    v = np.zeros((out_h, out_w, c), np.int32) if nw != out_w \
+        else np.empty((out_h, out_w, c), np.int32)
+    q0 = np.zeros((out_h, out_w, c), np.uint8) if nw != out_w \
+        else np.empty((out_h, out_w, c), np.uint8)
+    scratch = np.empty((out_h, w0, c), np.int32)
+    p = ctypes.POINTER
+
+    def ip(a):
+        return np.ascontiguousarray(a, np.int32).ctypes.data_as(
+            p(ctypes.c_int32))
+
+    lib.resize_v2_q0(
+        img.ctypes.data_as(p(ctypes.c_uint8)),
+        ctypes.c_int(h0), ctypes.c_int(w0), ctypes.c_int(c),
+        ip(wh.i0), ip(wh.i1), ip(wh.r), ctypes.c_int(wh.den),
+        ip(ww.i0), ip(ww.i1), ip(ww.r), ctypes.c_int(ww.den),
+        ctypes.c_int(out_h), ctypes.c_int(nw), ctypes.c_int(out_w),
+        ctypes.c_float(float(c255)),
+        ctypes.c_int(1 if flip_channels else 0),
+        v.ctypes.data_as(p(ctypes.c_int32)),
+        q0.ctypes.data_as(p(ctypes.c_uint8)),
+        scratch.ctypes.data_as(p(ctypes.c_int32)))
+    return v, q0
 
 
 def quantize_v_u8(v: np.ndarray, c255: float, flip_channels: bool):
@@ -139,20 +177,22 @@ def png_store_write(path: str, arr: np.ndarray) -> bool:
     return rc == 0
 
 
-def replay_sweep_u8(clean2: np.ndarray, packed: np.ndarray,
+def replay_sweep_u8(clean_v: np.ndarray, packed: np.ndarray,
                     alpha2, eps2, max2, c255,
                     flip_channels: bool):
-    """(B,H,W,C) doubled-int32 clean + (iters,B,HWC/4) packed signs ->
-    (iters,B,H,W,C) quantized u8 frames, or None when the native library
-    is unavailable. Parameters are per-sample (B,) arrays (scalars are
-    broadcast)."""
+    """(B,H,W,C) UNDOUBLED int32 clean v-values + (iters,B,HWC/4) packed
+    signs -> (iters,B,H,W,C) quantized u8 frames, or None when the native
+    library is unavailable. alpha2/eps2/max2 stay DOUBLED (the kernel
+    works on the doubled grid internally; it doubles the clean values on
+    the fly, saving the caller a full-array multiply pass). Parameters
+    are per-sample (B,) arrays (scalars are broadcast)."""
     lib = get_native()
     if lib is None:
         return None
-    clean2 = np.ascontiguousarray(clean2, np.int32)
+    clean_v = np.ascontiguousarray(clean_v, np.int32)
     packed = np.ascontiguousarray(packed, np.uint8)
-    iters, b = packed.shape[0], clean2.shape[0]
-    h, w, c = clean2.shape[1:]
+    iters, b = packed.shape[0], clean_v.shape[0]
+    h, w, c = clean_v.shape[1:]
     a2 = np.ascontiguousarray(np.broadcast_to(
         np.asarray(alpha2, np.int32).reshape(-1), (b,)), np.int32)
     e2 = np.ascontiguousarray(np.broadcast_to(
@@ -162,10 +202,9 @@ def replay_sweep_u8(clean2: np.ndarray, packed: np.ndarray,
     cq = np.ascontiguousarray(np.broadcast_to(
         np.asarray(c255, np.float32).reshape(-1), (b,)), np.float32)
     out = np.empty((iters, b, h, w, c), np.uint8)
-    scratch = np.empty((b, h, w, c), np.int32)
     p = ctypes.POINTER
     lib.replay_sweep_u8(
-        clean2.ctypes.data_as(p(ctypes.c_int32)),
+        clean_v.ctypes.data_as(p(ctypes.c_int32)),
         packed.ctypes.data_as(p(ctypes.c_uint8)),
         a2.ctypes.data_as(p(ctypes.c_int32)),
         e2.ctypes.data_as(p(ctypes.c_int32)),
@@ -174,6 +213,5 @@ def replay_sweep_u8(clean2: np.ndarray, packed: np.ndarray,
         ctypes.c_int(iters), ctypes.c_int(b), ctypes.c_int(h),
         ctypes.c_int(w), ctypes.c_int(c),
         ctypes.c_int(1 if flip_channels else 0),
-        out.ctypes.data_as(p(ctypes.c_uint8)),
-        scratch.ctypes.data_as(p(ctypes.c_int32)))
+        out.ctypes.data_as(p(ctypes.c_uint8)))
     return out

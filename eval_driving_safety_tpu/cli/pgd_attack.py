@@ -252,7 +252,7 @@ def run_srcnn(args):
     from eval_driving_safety_tpu.data.dataset import (
         fetch_np, prepare_srcnn_batch_u8, quantize_v_batch_u8,
         quantize_v_rgb_u8, save_attacked_images, save_sweep,
-        srcnn_cleanv_device, srcnn_cleanv_host)
+        srcnn_cleanv_device, srcnn_cleanv_host, srcnn_cleanv_q0_host)
     from eval_driving_safety_tpu.models.stereo_rcnn import (
         StereoRCNN, make_gt_batch, total_attack_loss)
 
@@ -312,7 +312,8 @@ def run_srcnn(args):
 
     def submit_replay(b, pl, pr, K, vkw):
         def job():
-            v2l, v2r = srcnn_cleanv_host(b)
+            # fused native resize + iteration-0 quantize (one pass/side)
+            v2l, v2r, q0l, q0r = srcnn_cleanv_q0_host(b)
             c255 = b["c255"]
             a2 = 2.0 * a_pix * K
             e2 = 2.0 * e_pix * K
@@ -330,11 +331,11 @@ def run_srcnn(args):
                 a2i = np.rint(a2).astype(np.int64)
                 e2i = np.rint(e2).astype(np.int64)
                 m2i = (510 * K).astype(np.int64)
-                nat_l = replay_sweep_u8(v2l * 2, pl_, alpha2=a2i, eps2=e2i,
+                nat_l = replay_sweep_u8(v2l, pl_, alpha2=a2i, eps2=e2i,
                                         max2=m2i, c255=c255,
                                         flip_channels=True)
                 if nat_l is not None:
-                    nat_r = replay_sweep_u8(v2r * 2, pr_, alpha2=a2i,
+                    nat_r = replay_sweep_u8(v2r, pr_, alpha2=a2i,
                                             eps2=e2i, max2=m2i, c255=c255,
                                             flip_channels=True)
                     frames = zip(nat_l, nat_r)
@@ -353,9 +354,7 @@ def run_srcnn(args):
                           for a, c in replay_pgd(
                               v2l.astype(np.float32),
                               v2r.astype(np.float32), pl_, pr_, **vkw))
-            q0 = (quantize_v_batch_u8(v2l, c255),
-                  quantize_v_batch_u8(v2r, c255))
-            save_sweep(b, q0, frames, prefix, ident, writer)
+            save_sweep(b, (q0l, q0r), frames, prefix, ident, writer)
         # backpressure: bound in-flight replays (see _MAX_PENDING_REPLAYS)
         if len(pending) >= _MAX_PENDING_REPLAYS:
             pending.pop(0).result()

@@ -344,6 +344,13 @@ class PlannerConfig:
     highway_v: Tuple[float, float, float] = (11.0, 13.0, 2.0)
     max_tree_depth: int = 100
     max_expansions: int = 20000
+    # visited-set duplicate-detection bucket sizes (x/y meters, psi/sa
+    # radians, v m/s). Coarse buckets prune aggressively (fast); finer
+    # buckets trade time for completeness — the r4 planner-failure triage
+    # re-ran failing scenarios with these tightened (PARITY.md).
+    visited_xy: float = 0.1
+    visited_angle: float = 0.02
+    visited_v: float = 0.1
 
 
 @dataclass(frozen=True)

@@ -455,6 +455,40 @@ def srcnn_cleanv_host(batch_u8: Dict) -> tuple:
     return out[0], out[1]
 
 
+def srcnn_cleanv_q0_host(batch_u8: Dict) -> tuple:
+    """srcnn_cleanv_host + the iteration-0 quantized frames in ONE fused
+    native pass per side (resize_v2_q0): returns (v2l, v2r, q0l, q0r)
+    with q0 == quantize_v_batch_u8(v2, c255) bitwise — the sweep's
+    replay-seed + clean-save without the extra full-frame quantize pass.
+    Falls back to the two-pass path when the native library is absent."""
+    from eval_driving_safety_tpu.attack.replay_native import resize_v2_q0
+    from eval_driving_safety_tpu.data.exact_resize import \
+        bilinear_axis_weights
+    b, out_w = batch_u8["wmask"].shape
+    vs, qs = [], []
+    for side in ("im_left_u8", "im_right_u8"):
+        va, qa = [], []
+        for i in range(b):
+            oh, ow = batch_u8["orig_hw"][i]
+            out_h, nw = batch_u8["net_hw"][i]
+            wh = bilinear_axis_weights(oh, out_h)
+            full_w = int(round(ow * (out_h / oh)))
+            ww = bilinear_axis_weights(ow, full_w, crop=nw)
+            res = resize_v2_q0(batch_u8[side][i, :oh, :ow], wh, ww, out_w,
+                               float(np.asarray(batch_u8["c255"])
+                                     .reshape(-1)[i]))
+            if res is None:                        # no native toolchain
+                v2l, v2r = srcnn_cleanv_host(batch_u8)
+                return (v2l, v2r,
+                        quantize_v_batch_u8(v2l, batch_u8["c255"]),
+                        quantize_v_batch_u8(v2r, batch_u8["c255"]))
+            va.append(res[0])
+            qa.append(res[1])
+        vs.append(np.stack(va))
+        qs.append(np.stack(qa))
+    return vs[0], vs[1], qs[0], qs[1]
+
+
 def quantize_v_rgb_u8(x_v, c255):
     """v-space frame -> quantized RGB u8 pixels: ONE f32 multiply by
     1/(den_h*den_w) (`c255` flat (B,), broadcast over the batch axis of a
@@ -649,11 +683,11 @@ def save_sweep_from_signs(batch: Dict, clean_l, clean_r, packed_l, packed_r,
             replay_255_valid(alpha, eps, clip_min, clip_max):
         from eval_driving_safety_tpu.attack.replay_native import \
             replay_sweep_u8
-        nat_l = replay_sweep_u8(clean_l.astype(np.int32) * 2, pl,
+        nat_l = replay_sweep_u8(clean_l.astype(np.int32), pl,
                                 alpha2=2, eps2=int(round(2 * float(eps))),
                                 max2=510, c255=1.0, flip_channels=False)
         if nat_l is not None:
-            nat_r = replay_sweep_u8(clean_r.astype(np.int32) * 2, pr,
+            nat_r = replay_sweep_u8(clean_r.astype(np.int32), pr,
                                     alpha2=2,
                                     eps2=int(round(2 * float(eps))),
                                     max2=510, c255=1.0,

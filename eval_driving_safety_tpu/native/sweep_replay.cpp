@@ -50,55 +50,77 @@ inline int32_t imax(int32_t a, int32_t b) { return a > b ? a : b; }
 
 extern "C" {
 
-// v2_clean: (B, H, W, C) int32, DOUBLED clean values.
+// v_clean:  (B, H, W, C) int32, UNDOUBLED clean v values (the kernel works
+//           on the doubled grid internally; clean*2 is recomputed on the
+//           fly, saving the caller a full doubling pass).
 // packed:   (iters, B, H*W*C/4) uint8, 2-bit sign codes (s+1).
 // alpha2/eps2/max2: per-sample (B,) int32, DOUBLED attack parameters.
 // c255:     per-sample (B,) float: quantize scale (1/(den_h*den_w) for
 //           the SRCNN v-space, 1.0 for the DSGN 255-space).
 // out:      (iters, B, H, W, C) uint8 quantized frames (channel-flipped
 //           when flip_channels, i.e. BGR state -> RGB pixels).
-// scratch:  (B, H, W, C) int32 workspace (the evolving doubled state).
-void replay_sweep_u8(const int32_t* v2_clean, const uint8_t* packed,
+//
+// Tiled over ITERATIONS: the evolving doubled state and the clean tile
+// stay L2-resident across all iterations of a tile (tile outer, iteration
+// inner), so DRAM sees each of v/clean roughly ONCE instead of once per
+// iteration — on the single-core hosts the replay is memory-bound and
+// this is ~2-3x. Tile size is a multiple of 12 so C==3 channel flips and
+// 4-element sign bytes never straddle a boundary (plane is divisible by
+// 12 when C==3: pack_signs enforces plane%4==0 and C divides plane).
+void replay_sweep_u8(const int32_t* v_clean, const uint8_t* packed,
                      const int32_t* alpha2, const int32_t* eps2,
                      const int32_t* max2, const float* c255,
                      int iters, int b, int h, int w, int c,
-                     int flip_channels, uint8_t* out, int32_t* scratch) {
+                     int flip_channels, uint8_t* out) {
     const long plane = (long)h * w * c;          // per-sample elements
     const long pbytes = plane / 4;               // packed bytes per sample
-    std::memcpy(scratch, v2_clean, (size_t)b * plane * sizeof(int32_t));
-    int8_t* s8 = (int8_t*)std::malloc((size_t)plane);
-    if (!s8) return;                             // caller falls back on OOM
-    for (int k = 0; k < iters; ++k) {
-        for (int bi = 0; bi < b; ++bi) {
-            const int32_t a2 = alpha2[bi], e2 = eps2[bi], m2 = max2[bi];
-            const float q = 0.5f * c255[bi];
-            const int32_t* clean = v2_clean + (long)bi * plane;
-            int32_t* v = scratch + (long)bi * plane;
-            const uint8_t* p = packed + ((long)k * b + bi) * pbytes;
-            uint8_t* o = out + ((long)k * b + bi) * plane;
-            // unpack pass: one 32-bit LUT store per packed byte
-            uint32_t* s32 = (uint32_t*)s8;
-            for (long i = 0; i < pbytes; ++i) s32[i] = kSignLut.t[p[i]];
-            // update + quantize: branch-free, auto-vectorizable
-            for (long i = 0; i < plane; ++i) {
-                int32_t d = v[i] + (int32_t)s8[i] * a2 - clean[i];
-                d = imin(imax(d, -e2), e2);
-                int32_t nv = imin(imax(d + clean[i], 0), m2);
-                v[i] = nv;
-                // quantize: trunc(f32(v) * 0.5 * c255), IEEE single
-                float x = (float)nv * q;
-                x = x < 0.f ? 0.f : (x > 255.f ? 255.f : x);
-                o[i] = (uint8_t)(int32_t)x;
-            }
-            if (flip_channels && c == 3) {       // BGR state -> RGB out
-                for (long i = 0; i < plane; i += 3) {
-                    const uint8_t t = o[i];
-                    o[i] = o[i + 2];
-                    o[i + 2] = t;
+    const long TILE = 49152;                     // 2^14*3: %12 == 0
+    int32_t* vt = (int32_t*)std::malloc((size_t)TILE * sizeof(int32_t));
+    int8_t* s8 = (int8_t*)std::malloc((size_t)TILE);
+    if (!vt || !s8) {                            // caller OOM fallback
+        std::free(vt);
+        std::free(s8);
+        return;
+    }
+    for (int bi = 0; bi < b; ++bi) {
+        const int32_t a2 = alpha2[bi], e2 = eps2[bi], m2 = max2[bi];
+        const float q = 0.5f * c255[bi];
+        const int32_t* clean = v_clean + (long)bi * plane;
+        for (long t0 = 0; t0 < plane; t0 += TILE) {
+            const long tl = plane - t0 < TILE ? plane - t0 : TILE;
+            const int32_t* cl = clean + t0;
+            for (long i = 0; i < tl; ++i) vt[i] = cl[i] * 2;
+            for (int k = 0; k < iters; ++k) {
+                const uint8_t* p = packed + ((long)k * b + bi) * pbytes
+                    + (t0 >> 2);
+                uint8_t* o = out + ((long)k * b + bi) * plane + t0;
+                // unpack: one 32-bit LUT store per packed byte
+                uint32_t* s32 = (uint32_t*)s8;
+                for (long i = 0; i < (tl >> 2); ++i)
+                    s32[i] = kSignLut.t[p[i]];
+                // update + quantize: branch-free, auto-vectorizable
+                for (long i = 0; i < tl; ++i) {
+                    const int32_t c2 = cl[i] * 2;
+                    int32_t d = vt[i] + (int32_t)s8[i] * a2 - c2;
+                    d = imin(imax(d, -e2), e2);
+                    const int32_t nv = imin(imax(d + c2, 0), m2);
+                    vt[i] = nv;
+                    // quantize: trunc(f32(v) * 0.5 * c255), IEEE single
+                    float x = (float)nv * q;
+                    x = x < 0.f ? 0.f : (x > 255.f ? 255.f : x);
+                    o[i] = (uint8_t)(int32_t)x;
+                }
+                if (flip_channels && c == 3) {   // BGR state -> RGB out
+                    for (long i = 0; i < tl; i += 3) {
+                        const uint8_t t = o[i];
+                        o[i] = o[i + 2];
+                        o[i + 2] = t;
+                    }
                 }
             }
         }
     }
+    std::free(vt);
     std::free(s8);
 }
 
@@ -129,6 +151,50 @@ void resize_v2_i32(const uint8_t* img, int h0, int w0, int c,
             const int32_t* b = v1 + (long)i1w[x] * c;
             for (int k = 0; k < c; ++k)
                 o[(long)x * c + k] = s * a[k] + r * b[k];
+        }
+    }
+}
+
+// Fused integer resize + clean-frame quantize: one horizontal pass emits
+// BOTH the int32 v-plane (den_h*den_w-scaled, the replay seed) and its
+// quantized u8 RGB frame q0 = trunc(f32(v) * c255) with optional BGR->RGB
+// flip — the iteration-0 save, without a second 14 MB read+write pass.
+// Same exact integer math as resize_v2_i32; same IEEE quantize formula
+// as quantize_v_u8. Out columns [nw, out_w) must be pre-zeroed by the
+// caller (or nw == out_w).
+void resize_v2_q0(const uint8_t* img, int h0, int w0, int c,
+                  const int32_t* i0h, const int32_t* i1h,
+                  const int32_t* rh, int den_h,
+                  const int32_t* i0w, const int32_t* i1w,
+                  const int32_t* rw, int den_w,
+                  int out_h, int nw, int out_w, float c255,
+                  int flip_channels, int32_t* v_out, uint8_t* q0_out,
+                  int32_t* scratch) {
+    const long row = (long)w0 * c;
+    for (int y = 0; y < out_h; ++y) {
+        const uint8_t* a = img + (long)i0h[y] * row;
+        const uint8_t* b = img + (long)i1h[y] * row;
+        const int32_t r = rh[y], s = den_h - rh[y];
+        int32_t* v1 = scratch + (long)y * row;
+        for (long i = 0; i < row; ++i)
+            v1[i] = s * (int32_t)a[i] + r * (int32_t)b[i];
+    }
+    const int flip = flip_channels && c == 3;
+    for (int y = 0; y < out_h; ++y) {
+        const int32_t* v1 = scratch + (long)y * row;
+        int32_t* o = v_out + (long)y * out_w * c;
+        uint8_t* q = q0_out + (long)y * out_w * c;
+        for (int x = 0; x < nw; ++x) {
+            const int32_t r = rw[x], s = den_w - rw[x];
+            const int32_t* a = v1 + (long)i0w[x] * c;
+            const int32_t* b = v1 + (long)i1w[x] * c;
+            for (int k = 0; k < c; ++k) {
+                const int32_t v = s * a[k] + r * b[k];
+                o[(long)x * c + k] = v;
+                float f = (float)v * c255;
+                f = f < 0.f ? 0.f : (f > 255.f ? 255.f : f);
+                q[(long)x * c + (flip ? 2 - k : k)] = (uint8_t)(int32_t)f;
+            }
         }
     }
 }
@@ -193,21 +259,39 @@ uint32_t crc32_update(uint32_t crc, const uint8_t* p, size_t len) {
     return ~crc;
 }
 
-// adler32 with the standard deferred-modulo batching (zlib's NMAX).
+// adler32, block-vectorized: over a block of B bytes the running sums
+// advance by a += S1 and b += B*a + S2 with S1 = sum(p[i]) and
+// S2 = sum((B-i)*p[i]) — two independent reductions the compiler
+// auto-vectorizes, replacing the loop-carried scalar dependence.
+// Overflow: per 64-byte block b grows by < 64*65520 + 64*64*255 ~ 2^22,
+// so ~512 blocks (32 KB) fit uint32 before the deferred modulo.
 uint32_t adler32_update(uint32_t adler, const uint8_t* p, size_t len) {
-    const uint32_t MOD = 65521, NMAX = 5552;
+    const uint32_t MOD = 65521;
+    const size_t B = 64, CHUNK = 512 * B;          // mod every 32 KB
     uint32_t a = adler & 0xFFFF, bsum = adler >> 16;
-    while (len > 0) {
-        size_t n = len < NMAX ? len : NMAX;
+    while (len >= B) {
+        size_t n = len < CHUNK ? (len / B) * B : CHUNK;
         len -= n;
-        for (size_t i = 0; i < n; ++i) {
-            a += p[i];
-            bsum += a;
+        for (size_t blk = 0; blk < n; blk += B) {
+            uint32_t s1 = 0, s2 = 0;
+            for (size_t i = 0; i < B; ++i) {
+                s1 += p[blk + i];
+                s2 += (uint32_t)(B - i) * p[blk + i];
+            }
+            bsum += (uint32_t)B * a + s2;
+            a += s1;
         }
         p += n;
         a %= MOD;
         bsum %= MOD;
     }
+    for (size_t i = 0; i < len; ++i) {
+        a += p[i];
+        bsum += a;
+        if (a >= MOD) a -= MOD;
+    }
+    a %= MOD;
+    bsum %= MOD;
     return (bsum << 16) | a;
 }
 
@@ -309,25 +393,25 @@ long png_store_encode(const uint8_t* img, long stride, int h, int w, int c,
     return o - out;
 }
 
-// Encode + write to `path` in one call (one allocation, one fwrite).
-// Returns 0 on success, nonzero on encode/IO failure.
+// Encode + write to `path` in one call (thread-local reusable buffer —
+// a fresh malloc per frame costs ~as much in page faults as the whole
+// encode — and one fwrite). Returns 0 on success, nonzero on failure.
 int png_store_write(const char* path, const uint8_t* img, long stride,
                     int h, int w, int c) {
-    const long cap = png_store_bound(h, w, c);
-    uint8_t* buf = (uint8_t*)std::malloc((size_t)cap);
-    if (!buf) return 1;
+    static thread_local uint8_t* buf = nullptr;
+    static thread_local long cap = 0;
+    const long need = png_store_bound(h, w, c);
+    if (need > cap) {
+        std::free(buf);
+        buf = (uint8_t*)std::malloc((size_t)need);
+        cap = buf ? need : 0;
+        if (!buf) return 1;
+    }
     const long n = png_store_encode(img, stride, h, w, c, buf);
-    if (n < 0) {
-        std::free(buf);
-        return 2;
-    }
+    if (n < 0) return 2;
     FILE* f = std::fopen(path, "wb");
-    if (!f) {
-        std::free(buf);
-        return 3;
-    }
+    if (!f) return 3;
     const int ok = std::fwrite(buf, 1, (size_t)n, f) == (size_t)n;
-    std::free(buf);
     return std::fclose(f) == 0 && ok ? 0 : 4;
 }
 

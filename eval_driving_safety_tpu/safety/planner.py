@@ -113,15 +113,27 @@ class AStarPlanner:
                       psi=s0[2], v=v0, sa=sa0, states=(s0 + (0,),))]
 
     def plan(self) -> Optional[Trajectory]:
+        """Returns the first (time-optimal under SM1) trajectory, or None.
+
+        After a None return, `self.stats["exhausted"]` says whether the
+        search EXHAUSTED the automaton (open set emptied — an
+        infeasibility certificate when the visited buckets are disabled)
+        or merely hit `max_expansions` (inconclusive). The r4
+        planner-failure triage used this to classify all 7 reference-
+        corpus failures as automaton-infeasible (PARITY.md)."""
         goal = self.problem.goal
         open_heap: List[_Node] = self._initial_nodes()
         heapq.heapify(open_heap)
         visited = set()
         expansions = 0
+        self.stats = {"expansions": 0, "exhausted": False}
+        bxy, bang, bv = (self.cfg.visited_xy, self.cfg.visited_angle,
+                         self.cfg.visited_v)
         while open_heap and expansions < self.cfg.max_expansions:
             node = heapq.heappop(open_heap)
-            key = (round(node.x, 1), round(node.y, 1), round(node.psi, 2),
-                   round(node.v, 1), round(node.sa, 2))
+            key = (round(node.x / bxy), round(node.y / bxy),
+                   round(node.psi / bang), round(node.v / bv),
+                   round(node.sa / bang))
             if key in visited:
                 continue
             visited.add(key)
@@ -142,6 +154,8 @@ class AStarPlanner:
                 for row in new_states[-prim.num_steps:]:
                     if row[5] >= goal.time.start and _in_goal(row, goal):
                         upto = new_states[:new_states.index(row) + 1]
+                        self.stats = {"expansions": expansions,
+                                      "exhausted": False}
                         return self._to_trajectory(upto)
                 end = world[-1]
                 child = _Node(
@@ -149,6 +163,8 @@ class AStarPlanner:
                     x=end[0], y=end[1], psi=end[2],
                     v=prim.v_end, sa=prim.sa_end, states=new_states)
                 heapq.heappush(open_heap, child)
+        self.stats = {"expansions": expansions,
+                      "exhausted": not open_heap}
         return None
 
     @staticmethod

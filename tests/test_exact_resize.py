@@ -93,3 +93,25 @@ def test_clean01_matches_float_prep_values():
     means = np.asarray(cfg.pixel_means_bgr, np.float32)
     old01 = (bf["im_left"] + means) / 255.0
     assert np.abs(hl - old01).max() < 2e-3
+
+
+def test_fused_cleanv_q0_matches_two_pass():
+    """The fused native resize+quantize (srcnn_cleanv_q0_host /
+    resize_v2_q0) returns v bit-equal to srcnn_cleanv_host and q0
+    bit-equal to quantize_v_batch_u8(v) — the sweep's replay seed and
+    iteration-0 frames in one pass, incl. width-cropped and width-padded
+    samples (r5 host-pipeline fusion)."""
+    from eval_driving_safety_tpu.data.dataset import (quantize_v_batch_u8,
+                                                      srcnn_cleanv_host,
+                                                      srcnn_cleanv_q0_host)
+    cfg = SRCNNInputConfig(height=120, width=400)
+    rng = np.random.RandomState(5)
+    # 75 -> 120 scale 1.6: 260 -> 416 crops at 400; 200 -> 320 pads
+    for sizes in ([(75, 260)], [(75, 200)], [(60, 250), (75, 260)]):
+        b = prepare_srcnn_batch_u8(_samples(rng, sizes), cfg)
+        v2l, v2r = srcnn_cleanv_host(b)
+        v2l_f, v2r_f, q0l, q0r = srcnn_cleanv_q0_host(b)
+        assert np.array_equal(v2l_f, v2l), sizes
+        assert np.array_equal(v2r_f, v2r), sizes
+        assert np.array_equal(q0l, quantize_v_batch_u8(v2l, b["c255"])), sizes
+        assert np.array_equal(q0r, quantize_v_batch_u8(v2r, b["c255"])), sizes

@@ -256,7 +256,7 @@ def test_native_replay_matches_numpy_paths():
     u8l = rng.randint(0, 256, shape).astype(np.uint8)
     u8r = rng.randint(0, 256, shape).astype(np.uint8)
     packed = rng.randint(0, 171, (4, 2, 8, 16 * 3 // 4)).astype(np.uint8)
-    native = replay_sweep_u8(u8l.astype(np.int32) * 2, packed,
+    native = replay_sweep_u8(u8l.astype(np.int32), packed,
                              alpha2=2, eps2=153, max2=510, c255=1.0,
                              flip_channels=False)
     if native is None:
@@ -269,7 +269,7 @@ def test_native_replay_matches_numpy_paths():
     K = np.array([48, 80], np.int64)
     v = (rng.rand(*shape) * 255 * K.reshape(2, 1, 1, 1)).astype(np.int32)
     c255 = (1.0 / K).astype(np.float32)
-    native = replay_sweep_u8(v * 2, packed, alpha2=2 * K, eps2=5 * K,
+    native = replay_sweep_u8(v, packed, alpha2=2 * K, eps2=5 * K,
                              max2=510 * K, c255=c255, flip_channels=True)
     ints = replay_pgd_ints(v * 2, v * 2, packed, packed,
                            alpha2=2 * K, eps2=5 * K, clip_max2=510 * K)

@@ -6,7 +6,7 @@ import os
 import numpy as np
 import pytest
 
-from eval_driving_safety_tpu.data.kitti import KittiObject
+from eval_driving_safety_tpu.data.kitti import KittiObject, read_label
 from eval_driving_safety_tpu.safety import collision as C
 from eval_driving_safety_tpu.safety.commonroad_io import (
     RectShape, Scenario, State, StaticObstacle, Trajectory, read_scenario,
@@ -258,7 +258,69 @@ def test_planner_parity_rate_on_reference_labels():
     assert results["static"]["success_rate"] >= 0.95
     assert results["dynamic"]["success_rate"] >= 0.95
     assert results["road_dynamic"]["success_rate"] >= 0.95
-    assert summary["success_rate"] >= 0.97
+    # 549/556: the r5 triage proved all 7 failures automaton-infeasible
+    # (PARITY.md "The 7 planning failures, classified"), so 98%+ IS full
+    # parity — every plannable scene plans
+    assert summary["success_rate"] >= 0.98
     # planning stays interactive: the reference printed seconds-to-minutes
     # per scenario; this A* must stay well under a second on average
     assert results["static"]["avg_plan_seconds"] < 1.0
+
+
+# the 7 reference-corpus scenarios the planner cannot solve, with the
+# obstacle geometry that blocks them (PARITY.md r5 triage table)
+PLANNER_INFEASIBLE = [
+    ("static_label", None, False, 0, "000008.txt", 1),
+    ("static_label", None, False, 0, "000620.txt", 155),
+    ("static_label", None, False, 0, "001153.txt", 304),
+    ("static_label", None, False, 0, "001162.txt", 306),
+    ("road_dynamic_label", "road_dynamic_annotation", True, 2000,
+     "000468.txt", 64),
+    ("road_dynamic_label", "road_dynamic_annotation", True, 2000,
+     "000642.txt", 93),
+    ("road_dynamic_label", "road_dynamic_annotation", True, 2000,
+     "000943.txt", 133),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.medium
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_LABELED),
+                    reason="reference kitti_labeled data not mounted")
+def test_planner_failures_are_automaton_infeasible():
+    """Infeasibility certificates for every planner-parity failure
+    (VERDICT r4 next #3): with duplicate detection disabled (visited
+    buckets ~0) A* is exhaustive over the maneuver automaton, so an
+    emptied open set proves NO collision-free primitive path exists —
+    the same automaton parameters the reference searches
+    (/root/reference/evaluation/plan_motion.py:36-37), so the reference
+    planner fails these scenes identically (its skip at :94-95). Guards
+    the classification: if a planner improvement ever makes one of these
+    plannable, or the search starts hitting the cap instead of
+    exhausting, this fails and the PARITY.md table must be revisited."""
+    import dataclasses
+
+    from eval_driving_safety_tpu.config import PlannerConfig, ScenarioConfig
+    from eval_driving_safety_tpu.safety.planner import AStarPlanner
+    from eval_driving_safety_tpu.safety.primitives import primitives_for_band
+
+    scfg = ScenarioConfig()
+    pcfg = dataclasses.replace(
+        PlannerConfig(), max_expansions=5_000_000,
+        visited_xy=1e-9, visited_angle=1e-9, visited_v=1e-9)
+    for sub, anno_sub, is_hw, base, fn, idx in PLANNER_INFEASIBLE:
+        objs = read_label(os.path.join(REFERENCE_LABELED, sub, fn))
+        annos = None
+        if anno_sub:
+            ap = os.path.join(REFERENCE_LABELED, anno_sub, fn)
+            if os.path.exists(ap):
+                annos = open(ap).read().splitlines()
+        sc = convert_gt_scenario(objs, annos, is_hw, "straight", scfg,
+                                 seed=base + idx)
+        planner = AStarPlanner(sc, sc.planning_problems[0],
+                               primitives_for_band(is_hw, pcfg), pcfg)
+        traj = planner.plan()
+        assert traj is None, f"{fn}: now plannable — update PARITY.md"
+        assert planner.stats["exhausted"], \
+            f"{fn}: hit the expansion cap instead of exhausting"
+        assert planner.stats["expansions"] < 5_000_000
