@@ -17,6 +17,7 @@ from __future__ import annotations
 import math
 from typing import Dict, List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,6 +29,10 @@ from eval_driving_safety_tpu.ops.dense_align import align_disparities
 from eval_driving_safety_tpu.ops.nms import nms
 
 CLASS_NAMES = ("__background__", "Car")
+
+# jitted once per (image shape, detection bucket); runs on whatever device
+# the caller's default_device selects (predict_image pins the host cpu)
+_align_jit = jax.jit(align_disparities)
 
 
 def decode_kpts(boxes_left: np.ndarray, kpts_prob: np.ndarray,
@@ -67,6 +72,25 @@ def predict_image(outputs, im_left, im_right, calib, cfg: StereoRCNNConfig,
     network scale with original-resolution calibration would bias every
     depth by ~1/scale.
     """
+    # host post-processing stays on the HOST cpu backend: the arrays are
+    # small and already fetched, and on a remote/tunneled accelerator the
+    # eager decode/NMS/align ops would otherwise round-trip the link per
+    # op (and recompile per detection count — see the fixed-shape NMS call
+    # and the bucket-padded align below)
+    import contextlib
+    try:
+        ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:                 # cpu backend disabled
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return _predict_image_cpu(outputs, im_left, im_right, calib, cfg,
+                                  image_hw, dense_align, batch_index,
+                                  image_scale)
+
+
+def _predict_image_cpu(outputs, im_left, im_right, calib, cfg,
+                       image_hw, dense_align, batch_index,
+                       image_scale) -> List[Dict]:
     i = batch_index
     scores = np.asarray(outputs.cls_prob[i])                 # (R, C)
     boxes_l = np.asarray(outputs.rois_left[i][:, 1:5])
@@ -104,12 +128,16 @@ def predict_image(outputs, im_left, im_right, calib, cfg: StereoRCNNConfig,
         right = np.asarray(B.clip_boxes(jnp.asarray(right), h_net, w_net))
         do5 = dim_orien.reshape(-1, cfg.num_classes, 5)[:, j]
 
-        idx = np.where(keep0)[0]
-        order = idx[np.argsort(-cls_scores[idx])]
-        keep_idx, keep_mask = nms(jnp.asarray(left[order]),
-                                  jnp.asarray(cls_scores[order]),
-                                  cfg.max_detections, cfg.test_nms_thresh)
-        sel = order[np.asarray(keep_idx)[np.asarray(keep_mask)]]
+        # NMS over the FULL fixed-R roi set with `valid` masking the
+        # below-threshold rows: identical keep set to subsetting first
+        # (invalid rows get -inf scores inside nms), but the shapes are
+        # static so the compiled NMS is traced ONCE per config instead of
+        # once per per-frame detection count
+        keep_idx, keep_mask = nms(jnp.asarray(left),
+                                  jnp.asarray(cls_scores),
+                                  cfg.max_detections, cfg.test_nms_thresh,
+                                  valid=jnp.asarray(keep0))
+        sel = np.asarray(keep_idx)[np.asarray(keep_mask)]
         if sel.size == 0:
             continue
 
@@ -144,14 +172,26 @@ def predict_image(outputs, im_left, im_right, calib, cfg: StereoRCNNConfig,
             init_disp = np.array([
                 calib.f_u * calib.baseline / max(float(s[1][2]), 0.5)
                 for s in solved])
-            # photometric alignment samples the NETWORK-scale images
-            ok, disp = align_disparities(
-                jnp.asarray(im_left), jnp.asarray(im_right),
-                jnp.asarray(cls_left[sel_rows] * image_scale),
-                jnp.asarray(cls_kpts[sel_rows][:, 3:5] * image_scale),
-                jnp.asarray(init_disp * image_scale))
-            ok = np.asarray(ok)
-            disp = np.asarray(disp) / image_scale
+            # photometric alignment samples the NETWORK-scale images.
+            # Detection count is padded to a power-of-two bucket so the
+            # jitted align compiles once per bucket, not once per count
+            # (padded rows are degenerate boxes -> ok=False, dropped)
+            n = len(solved)
+            nb = 1 << max(n - 1, 0).bit_length()
+
+            def pad(a):
+                a = np.asarray(a, np.float32)
+                return np.concatenate(
+                    [a, np.zeros((nb - n,) + a.shape[1:], np.float32)], 0)
+
+            ok, disp = _align_jit(
+                jnp.asarray(im_left, jnp.float32),
+                jnp.asarray(im_right, jnp.float32),
+                pad(cls_left[sel_rows] * image_scale),
+                pad(cls_kpts[sel_rows][:, 3:5] * image_scale),
+                pad(init_disp * image_scale))
+            ok = np.asarray(ok)[:n]
+            disp = np.asarray(disp)[:n] / image_scale
             for n, (k, state, dims, alpha) in enumerate(solved):
                 if not ok[n]:
                     # the reference only exports alignment successes

@@ -169,6 +169,7 @@ def test_pgd_attack_cli_sharded_over_mesh(kitti_root, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.medium
 def test_pgd_attack_cli_srcnn_transfer_modes_identical(kitti_root, tmp_path):
     """SRCNN --transfer signs (exact u8 ingest + sign replay) writes
     byte-identical sweep PNGs to --transfer full (device-quantized

@@ -389,6 +389,8 @@ def test_discover_dsgn_arch_reads_widths():
     assert a.num_classes == TINY.num_classes
 
 
+@pytest.mark.slow
+@pytest.mark.medium
 def test_load_dsgn_checkpoint_roundtrip(tmp_path):
     """torch.save -> load_dsgn_checkpoint -> attack gradients flow to the
     input pixels through the compat assembly (the reference's usage:

@@ -20,6 +20,7 @@ from test_srcnn_end_to_end import BUSY_TAGS, _clean_env, _probe_accelerator
 
 
 @pytest.mark.slow
+@pytest.mark.medium
 def test_demo_chain_flips_safety_metrics():
     platform = _probe_accelerator()
     if platform is None:

@@ -115,3 +115,34 @@ def test_fused_cleanv_q0_matches_two_pass():
         assert np.array_equal(v2r_f, v2r), sizes
         assert np.array_equal(q0l, quantize_v_batch_u8(v2l, b["c255"])), sizes
         assert np.array_equal(q0r, quantize_v_batch_u8(v2r, b["c255"])), sizes
+
+
+def test_width_crop_1984_is_exact_crop_of_1987_oracle():
+    """config.py:55 uses width 1984 vs the reference's 600x1987
+    (/root/reference/attack/Stereo-RCNN/patch_attack.py:170-171). The
+    resize weights are built for the FULL round(ow*scale) grid and only
+    CROPPED to the static width (bilinear_axis_weights(crop=...)), so the
+    1984 network input must be BIT-EXACTLY the first 1984 columns of a
+    true-1987 oracle (static width 2016 >= 1987): the whole 1984-vs-1987
+    delta is the dropped 3 net-pixel right band (~1.9 px at KITTI
+    original scale), not a resampling shift (VERDICT r4 next #7)."""
+    import dataclasses
+    from eval_driving_safety_tpu.data.dataset import prepare_srcnn_batch_u8
+
+    rng = np.random.RandomState(11)
+    samples = _samples(rng, [(375, 1242)])
+    cfg_pipe = SRCNNInputConfig(height=600, width=1984)
+    cfg_oracle = SRCNNInputConfig(height=600, width=2016)
+    bp = prepare_srcnn_batch_u8(samples, cfg_pipe)
+    bo = prepare_srcnn_batch_u8(samples, cfg_oracle)
+    # the true full-resolution grid is 1987 wide: round(1242 * 600/375)
+    assert bp["net_hw"][0] == (600, 1984)
+    assert bo["net_hw"][0] == (600, 1987)
+    pl, pr = srcnn_clean01_host(bp)
+    ol, orr = srcnn_clean01_host(bo)
+    # bit-exact crop: identical f32 values on every surviving column
+    assert np.array_equal(pl[0], ol[0, :, :1984])
+    assert np.array_equal(pr[0], orr[0, :, :1984])
+    # and the oracle's extra content is exactly the 3-column band
+    assert np.abs(ol[0, :, 1984:1987]).max() > 0
+    assert np.abs(ol[0, :, 1987:]).max() == 0

@@ -128,6 +128,8 @@ def test_dontcare_inter_over_det_area():
     assert r["ap_bbox"] == 1.0
 
 
+@pytest.mark.slow
+@pytest.mark.medium
 def test_full_table_difficulty_progression():
     """evaluate_full_table emits easy/moderate/hard for each class; an
     occluded gt counts only from its difficulty on (VERDICT.md weak #5)."""
@@ -147,6 +149,8 @@ def test_full_table_difficulty_progression():
     assert "Car AP(%)" in txt and "moderate" in txt and "bev" in txt
 
 
+@pytest.mark.slow
+@pytest.mark.medium
 def test_full_table_multiclass_thresholds():
     """Pedestrian scores at IoU 0.5: a det with ~0.55 IoU is a TP for
     Pedestrian but the same overlap would fail Car's 0.7 gate."""

@@ -78,6 +78,7 @@ def test_accelerator_smoke():
 
 
 @pytest.mark.slow
+@pytest.mark.medium
 def test_overfit_detects_planted_car_and_pgd_degrades_it():
     platform = _probe_accelerator()
     if platform is None:

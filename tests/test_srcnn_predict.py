@@ -294,3 +294,89 @@ def test_predict_image_network_scale_recovers_depth():
     np.testing.assert_allclose(d["location"][2], gt[2], atol=1.5)
     # exported bbox is at ORIGINAL resolution
     np.testing.assert_allclose(d["bbox"], box_l, atol=2.0)
+
+
+
+
+
+@pytest.mark.slow
+@pytest.mark.medium
+def test_width_crop_1984_feature_reach_bound():
+    """Bounds the 1984-vs-1987 static-width delta (config.py:55 vs
+    /root/reference/attack/Stereo-RCNN/patch_attack.py:170-171) at the
+    feature level. tests/test_exact_resize.py proves the 1984 network
+    input is BIT-EXACTLY the true-1987 grid's first 1984 columns; here the
+    same params run the REAL u8 ingest at static width 1984 and at a
+    full-1987-content oracle padded to static 2048, and every FPN level's
+    features must be BIT-IDENTICAL left of the crop's receptive-field
+    reach (measured: 64 net px = 40 original px, recorded in PARITY.md).
+    Since the RPN heads are 1x1 convs and the ROI heads pool from these
+    maps, identical features imply — for ANY weights, including the
+    published checkpoint — identical scores/boxes for every detection
+    that does not read the right-edge band (VERDICT r4 next #7).
+
+    Two comparison artifacts this test deliberately avoids: (a) a
+    detection-SET comparison is ill-posed under random init (the global
+    pre-NMS top-k is dominated by near-tie background scores, so one
+    extra anchor column reorders unrelated rois); (b) the oracle's static
+    width must keep every FPN stage an exact power-of-two size — at
+    static 1987 or 2016 the top-down `upsample_bilinear(size=...)` grid
+    ratios shift off exactly 1/2, moving EVERY interior sample (a
+    resampling-grid artifact the reference's own size-driven F.upsample
+    has at its native 1987, where stage sizes are odd). Static 2048 keeps
+    the per-column sample grid identical to 1984's."""
+    import dataclasses
+
+    import jax
+
+    from eval_driving_safety_tpu.config import SRCNNInputConfig
+    from eval_driving_safety_tpu.data.dataset import (KittiSample,
+                                                      prepare_srcnn_batch_u8,
+                                                      srcnn_clean01_host)
+    from eval_driving_safety_tpu.models.stereo_rcnn import StereoRCNN
+
+    # original-scale KITTI frame: dense random texture exercises every
+    # column, including the 3-px band the 1984 crop drops
+    oh, ow = 375, 1242
+    rng = np.random.RandomState(3)
+    il = rng.randint(0, 256, (oh, ow, 3)).astype(np.uint8)
+    ir = rng.randint(0, 256, (oh, ow, 3)).astype(np.uint8)
+    sample = KittiSample("000000", il, ir, CALIB, [], (oh, ow))
+
+    pyr = {}
+    shared_params = None
+    for wstat in (1984, 2048):
+        cfg = dataclasses.replace(
+            StereoRCNNConfig.tiny(),
+            input=SRCNNInputConfig(height=600, width=wstat))
+        model = StereoRCNN(cfg)
+        b = prepare_srcnn_batch_u8([sample], cfg.input)
+        # the oracle carries the FULL 1987-wide resize grid
+        assert b["net_hw"][0] == (600, min(wstat, 1987))
+        cl01, cr01 = srcnn_clean01_host(b)
+        means = np.asarray(cfg.input.pixel_means_bgr, np.float32)
+        nl = jnp.asarray(cl01 * 255.0 - means)
+        nr = jnp.asarray(cr01 * 255.0 - means)
+        variables = model.init(jax.random.PRNGKey(0), nl, nr, mode="infer")
+        if shared_params is None:                 # params are width-agnostic
+            shared_params = variables["params"]
+        variables = {"params": shared_params,
+                     "constants": variables["constants"]}
+        pl, prr = model.apply(variables, nl, nr,
+                              method=StereoRCNN.extract_pyramids)
+        pyr[wstat] = [np.asarray(a[0]) for a in list(pl) + list(prr)]
+
+    strides = StereoRCNNConfig.tiny().feat_strides * 2
+    worst_reach = 0
+    for lvl, (a, o, s) in enumerate(zip(pyr[1984], pyr[2048], strides)):
+        ncols = a.shape[1]                        # 1984-run columns
+        same = np.all(a == o[:, :ncols], axis=(0, 2))      # per column
+        diff_cols = np.where(~same)[0]
+        if diff_cols.size:
+            reach = 1984 - int(diff_cols[0]) * s
+            assert reach <= 128, \
+                f"level {lvl}: band influence reaches {reach} net px " \
+                f"(first differing column {diff_cols[0]} at stride {s})"
+            worst_reach = max(worst_reach, reach)
+    # the band must actually influence SOME edge features (content there)
+    assert worst_reach > 0

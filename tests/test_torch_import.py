@@ -330,6 +330,8 @@ def _synthetic_upstream_sd(cfg):
     return sd
 
 
+@pytest.mark.slow
+@pytest.mark.medium
 def test_stereo_rcnn_checkpoint_conversion_shapes():
     """Synthetic upstream-shaped state dict maps onto the flax tree with
     ZERO unmapped keys and the resulting params run a forward pass
