@@ -389,7 +389,11 @@ def srcnn_clean01_device(batch_u8: Dict, img_u8):
 def srcnn_clean01_host(batch_u8: Dict) -> tuple:
     """Host twin of srcnn_clean01_device: bit-identical clean pair in BGR
     [0,1] (integer resize + the same single f32 multiply) — the replay
-    seed for sign-trajectory sweeps."""
+    seed for sign-trajectory sweeps. Uses the native SIMD resize
+    (attack.replay_native.resize_v2_i32, identical integer math) when the
+    library is available — the numpy fancy-indexing resize was the
+    dominant host stage (~0.5 s/frame) of the stage-3 e2e pipeline."""
+    from eval_driving_safety_tpu.attack.replay_native import resize_v2_i32
     from eval_driving_safety_tpu.data.exact_resize import (
         bilinear_axis_weights, resize_v2_host)
     b, out_w = batch_u8["wmask"].shape
@@ -403,7 +407,12 @@ def srcnn_clean01_host(batch_u8: Dict) -> tuple:
             wh = bilinear_axis_weights(oh, out_h)
             full_w = int(round(ow * (out_h / oh)))
             ww = bilinear_axis_weights(ow, full_w, crop=nw)
-            v2 = resize_v2_host(batch_u8[side][i, :oh, :ow], wh, ww)
+            img = batch_u8[side][i, :oh, :ow]
+            v2 = resize_v2_i32(img, wh, ww, out_w)
+            if v2 is not None:                # already zero-padded to out_w
+                arrs.append(v2.astype(np.float32) * batch_u8["c"][i])
+                continue
+            v2 = resize_v2_host(img, wh, ww)
             x = np.zeros((out_h, out_w, 3), np.float32)
             x[:, :nw] = v2.astype(np.float32) * batch_u8["c"][i]
             arrs.append(x)
