@@ -1291,6 +1291,7 @@ def main():
                              "dsgn_pallas_attack",
                              "dsgn_patch_train", "dsgn_patch_train_e2e",
                              "srcnn_patch_train_e2e", "dsgn_compat_attack",
+                             "dsgn_compat_nstack",
                              "dsgn_compat_concat", "dsgn_compat_xla",
                              "dsgn_fwd", "dsgn_e2e", "srcnn_e2e",
                              "dsgn_predict_e2e", "srcnn_predict_e2e",
@@ -1460,6 +1461,14 @@ def main():
         if cbytes and peak_hbm_gbps():
             extra["dsgn_compat_attack_hbm_bw_util"] = round(
                 rate * cbytes / 1e9 / peak_hbm_gbps(), 4)
+    # N-stacked variant: the three depth taps stacked into the conv's
+    # OUTPUT channels (N = 3F — slice2d's N=F convs pad N to 128 lanes and
+    # waste 50-75% of the MXU width) — recorded to decide the default
+    v = run("dsgn_compat_nstack",
+            lambda: bench_dsgn_compat_attack(args.iters, args.tiny,
+                                             conv3d="nstack"))
+    if v and v[0]:
+        extra["dsgn_compat_nstack_attack_iters_per_sec"] = round(v[0], 4)
     # tap-concat variant: one 2D conv with 3C input channels (better MXU
     # contraction-depth utilization) — recorded to decide future defaults
     v = run("dsgn_compat_concat",

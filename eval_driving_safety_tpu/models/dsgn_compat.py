@@ -107,10 +107,11 @@ class _Conv3dSlice2d(nn.Module):
     @nn.compact
     def __call__(self, x):
         from eval_driving_safety_tpu.ops.conv3d_slice2d import (
-            conv3d_slice2d, conv3d_tapconcat)
+            conv3d_nstack, conv3d_slice2d, conv3d_tapconcat)
         kernel = self.param("kernel", nn.linear.default_kernel_init,
                             (3, 3, 3, x.shape[-1], self.features))
-        op = conv3d_tapconcat if self.method == "concat" else conv3d_slice2d
+        op = {"concat": conv3d_tapconcat,
+              "nstack": conv3d_nstack}.get(self.method, conv3d_slice2d)
         return op(x.astype(self.dtype), kernel, self.stride)
 
 
@@ -136,7 +137,7 @@ class CompatConvBn(nn.Module):
     def __call__(self, x):
         k, d = self.kernel, self.dims
         if (d == 3 and k == 3 and self.dilation == 1
-                and self.conv3d_method in ("slice2d", "concat")):
+                and self.conv3d_method in ("slice2d", "concat", "nstack")):
             x = _Conv3dSlice2d(self.features, self.stride, dtype=self.dtype,
                                method=self.conv3d_method, name="conv")(x)
         else:
@@ -168,7 +169,7 @@ class CompatDeconvBn(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.conv3d_method in ("slice2d", "concat"):
+        if self.conv3d_method in ("slice2d", "concat", "nstack"):
             x = _ConvTranspose3dDepthPoly(self.features, dtype=self.dtype,
                                           name="deconv")(x)
         else:

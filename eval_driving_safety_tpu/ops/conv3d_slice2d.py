@@ -94,6 +94,52 @@ def conv3d_tapconcat(x, kernel, stride: int = 1):
     return y.reshape(b, d_out, y.shape[1], y.shape[2], f)
 
 
+def conv3d_nstack(x, kernel, stride: int = 1):
+    """Same function/parameters as `conv3d_slice2d`, computed as ONE 2D
+    conv whose OUTPUT channels stack the three depth taps:
+
+        p[e] = conv2d(x[e], kernel reshaped to (3, 3, C, 3F))   # (.., 3F)
+        y[d] = p[s*d - 1][..., 0] + p[s*d][..., 1] + p[s*d + 1][..., 2]
+
+    Why: at the compat assembly's widths (F = 32..64) the MXU pads the
+    conv's N dimension to 128 lanes, so slice2d's three N=F convolutions
+    each waste 50-75% of the systolic array's width; stacking the taps
+    into N = 3F triples the utilization at identical FLOPs, turning the
+    per-conv matmul core from N-padding-bound into near-full-width. The
+    depth combination becomes three shifted slices + adds of the p
+    tensor, which XLA fuses with the following BN/ReLU into one
+    elementwise pass.
+
+    Numerics are BIT-IDENTICAL to conv3d_slice2d: each p[..., t] is the
+    same conv2d contraction (the N stacking never changes the K
+    accumulation order) and the taps are added in the same t-ascending
+    order (asserted in tests/test_dsgn_compat.py)."""
+    b, d, h, w, c = x.shape
+    f = kernel.shape[-1]
+    kernel = kernel.astype(x.dtype)
+    d_out = (d + 2 * 1 - 3) // stride + 1
+    # one conv over ALL depth slices of the padded volume
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    dp = d + 2
+    # depth tap t becomes the OUTER output-channel index: (3, 3, C, 3F)
+    k2 = kernel.transpose(1, 2, 3, 0, 4).reshape(3, 3, c, 3 * f)
+    dn = jax.lax.conv_dimension_numbers(
+        (b * dp, h, w, c), (3, 3, c, 3 * f), ("NHWC", "HWIO", "NHWC"))
+    p = jax.lax.conv_general_dilated(
+        xp.reshape(b * dp, h, w, c), k2, window_strides=(stride, stride),
+        padding=((1, 1), (1, 1)), dimension_numbers=dn,
+        preferred_element_type=x.dtype)
+    h_out, w_out = p.shape[1], p.shape[2]
+    p = p.reshape(b, dp, h_out, w_out, 3, f)
+    # y[d] = sum_t p[s*d + t] tap t   (xp is depth-padded, so the shifts
+    # are in-bounds strided slices; same t-ascending add order as slice2d)
+    end = stride * (d_out - 1) + 1
+    y = p[:, 0:end:stride, :, :, 0]
+    y = y + p[:, 1:end + 1:stride, :, :, 1]
+    y = y + p[:, 2:end + 2:stride, :, :, 2]
+    return y
+
+
 def conv_transpose3d_depthpoly(x, kernel):
     """`nn.ConvTranspose(F, (3,3,3), strides=(2,2,2), padding=[(1,2)]*3)`
     (the compat hourglass's 2x-upsampling deconv, models/dsgn_compat.py

@@ -468,7 +468,33 @@ def test_conv3d_tapconcat_matches_nn_conv(stride):
                                atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("method", ["slice2d", "concat"])
+@pytest.mark.parametrize("stride", [1, 2])
+def test_conv3d_nstack_matches_slice2d_bitwise(stride):
+    """ops.conv3d_nstack is BIT-IDENTICAL to conv3d_slice2d (each stacked
+    tap is the same conv2d contraction; taps added in the same order) and
+    matches nn.Conv(F,(3,3,3)) to tolerance, for both strides."""
+    from flax import linen as nn
+
+    from eval_driving_safety_tpu.ops.conv3d_slice2d import (conv3d_nstack,
+                                                            conv3d_slice2d)
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(2, 8, 6, 10, 5).astype(np.float32))
+    ref = nn.Conv(7, (3, 3, 3), strides=(stride,) * 3,
+                  padding=[(1, 1)] * 3, use_bias=False)
+    params = ref.init(jax.random.PRNGKey(0), x)
+    want = ref.apply(params, x)
+    got = jax.jit(conv3d_nstack, static_argnums=2)(
+        x, params["params"]["kernel"], stride)
+    via_slice = jax.jit(conv3d_slice2d, static_argnums=2)(
+        x, params["params"]["kernel"], stride)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    assert np.array_equal(np.asarray(got), np.asarray(via_slice))
+
+
+@pytest.mark.parametrize("method", ["slice2d", "concat", "nstack"])
 def test_compat_convbn_conv3d_methods_share_checkpoints(method):
     """CompatConvBn's reformulated conv3d methods consume the "xla"
     variant's exact parameter tree and produce the same output and input
