@@ -24,15 +24,18 @@ import numpy as np
 from eval_driving_safety_tpu.config import StereoRCNNConfig
 from eval_driving_safety_tpu.ops import boxes as B
 from eval_driving_safety_tpu.ops.box_solver import (
-    infer_boundary, solve_x_y_theta_from_kpt, solve_x_y_z_theta_from_kpt)
+    infer_boundary, solve_batch_x_y_theta, solve_batch_x_y_z_theta)
 from eval_driving_safety_tpu.ops.dense_align import align_disparities
 from eval_driving_safety_tpu.ops.nms import nms
 
 CLASS_NAMES = ("__background__", "Car")
 
 # jitted once per (image shape, detection bucket); runs on whatever device
-# the caller's default_device selects (predict_image pins the host cpu)
+# the caller's default_device selects (predict_image pins the host cpu).
+# nms is jitted too: calling the lax.scan-based op eagerly re-traces and
+# dispatches per primitive every frame (~0.2 s/frame measured on 1 core)
 _align_jit = jax.jit(align_disparities)
+_nms_jit = jax.jit(nms, static_argnums=(2, 3))
 
 
 def decode_kpts(boxes_left: np.ndarray, kpts_prob: np.ndarray,
@@ -133,10 +136,11 @@ def _predict_image_cpu(outputs, im_left, im_right, calib, cfg,
         # (invalid rows get -inf scores inside nms), but the shapes are
         # static so the compiled NMS is traced ONCE per config instead of
         # once per per-frame detection count
-        keep_idx, keep_mask = nms(jnp.asarray(left),
-                                  jnp.asarray(cls_scores),
-                                  cfg.max_detections, cfg.test_nms_thresh,
-                                  valid=jnp.asarray(keep0))
+        keep_idx, keep_mask = _nms_jit(jnp.asarray(left),
+                                       jnp.asarray(cls_scores),
+                                       cfg.max_detections,
+                                       cfg.test_nms_thresh,
+                                       valid=jnp.asarray(keep0))
         sel = np.asarray(keep_idx)[np.asarray(keep_mask)]
         if sel.size == 0:
             continue
@@ -155,28 +159,24 @@ def _predict_image_cpu(outputs, im_left, im_right, calib, cfg,
             0.5 * (inferred[:, 1] - inferred[:, 0])
         cls_kpts[narrow, 3:5] = inferred[narrow]
 
-        solved = []
-        for k in range(cls_left.shape[0]):
-            dims = cls_do[k, :3]
-            alpha = math.atan2(cls_do[k, 3], cls_do[k, 4])
-            status, state = solve_x_y_z_theta_from_kpt(
-                (h_img, w_img), calib, alpha, dims, cls_left[k],
-                cls_right[k], cls_kpts[k])
-            if status > 0:
-                solved.append((k, state, dims, alpha))
-        if not solved:
+        # batched Gauss-Newton over all kept detections (the per-detection
+        # scalar loop dominated the host stage of the predict pipeline —
+        # same iteration/stop semantics, ops/box_solver.py batch entries)
+        alphas = np.arctan2(cls_do[:, 3], cls_do[:, 4])
+        status, states = solve_batch_x_y_z_theta(
+            calib, alphas, cls_do[:, :3], cls_left, cls_right, cls_kpts)
+        sel_rows = np.where(status > 0)[0]
+        if sel_rows.size == 0:
             continue
 
         if dense_align and im_left is not None:
-            sel_rows = np.array([s[0] for s in solved])
-            init_disp = np.array([
-                calib.f_u * calib.baseline / max(float(s[1][2]), 0.5)
-                for s in solved])
+            init_disp = calib.f_u * calib.baseline / np.maximum(
+                states[sel_rows, 2], 0.5)
             # photometric alignment samples the NETWORK-scale images.
             # Detection count is padded to a power-of-two bucket so the
             # jitted align compiles once per bucket, not once per count
             # (padded rows are degenerate boxes -> ok=False, dropped)
-            n = len(solved)
+            n = sel_rows.size
             nb = 1 << max(n - 1, 0).bit_length()
 
             def pad(a):
@@ -192,23 +192,25 @@ def _predict_image_cpu(outputs, im_left, im_right, calib, cfg,
                 pad(init_disp * image_scale))
             ok = np.asarray(ok)[:n]
             disp = np.asarray(disp)[:n] / image_scale
-            for n, (k, state, dims, alpha) in enumerate(solved):
-                if not ok[n]:
-                    # the reference only exports alignment successes
-                    # (predict_and_save_pgd.py: succ > 0 gate)
-                    continue
-                st, z = solve_x_y_theta_from_kpt(
-                    (h_img, w_img), calib, alpha, dims, cls_left[k],
-                    disp[n], cls_kpts[k])
+            # the reference only exports alignment successes
+            # (predict_and_save_pgd.py: succ > 0 gate)
+            rows = sel_rows[ok]
+            if rows.size == 0:
+                continue
+            st3, z3 = solve_batch_x_y_theta(
+                calib, alphas[rows], cls_do[rows, :3], cls_left[rows],
+                disp[ok], cls_kpts[rows])
+            for m, k in enumerate(rows):
                 detections.append(_det_dict(
-                    j, cls_left[k], dims,
-                    (float(st[0]), float(st[1]), float(z)), float(st[2]),
-                    float(cls_sc[k])))
+                    j, cls_left[k], cls_do[k, :3],
+                    (float(st3[m, 0]), float(st3[m, 1]), float(z3[m])),
+                    float(st3[m, 2]), float(cls_sc[k])))
         else:
-            for k, state, dims, alpha in solved:
+            for k in sel_rows:
+                st = states[k]
                 detections.append(_det_dict(
-                    j, cls_left[k], dims,
-                    tuple(float(v) for v in state[:3]), float(state[3]),
+                    j, cls_left[k], cls_do[k, :3],
+                    tuple(float(v) for v in st[:3]), float(st[3]),
                     float(cls_sc[k])))
     return detections
 

@@ -181,13 +181,15 @@ def test_bf16_predict_matches_fp32(monkeypatch):
     import eval_driving_safety_tpu.inference.stereo_rcnn_predict as SP
     from eval_driving_safety_tpu.models.stereo_rcnn import StereoRCNN
 
-    def fake_solver(hw, calib, alpha, dims, box_l, box_r, kpts):
+    def fake_solver(calib, alphas, dims, boxes_l, boxes_r, kpts):
         # deterministic in the decoded quantities -> detections reflect
         # boxes/scores/keypoints only
-        return 1, np.array([box_l[0] / 50.0, box_l[1] / 50.0,
-                            10.0 + kpts[0] / 100.0, alpha])
+        n = np.asarray(boxes_l).shape[0]
+        states = np.stack([boxes_l[:, 0] / 50.0, boxes_l[:, 1] / 50.0,
+                           10.0 + kpts[:, 0] / 100.0, alphas], 1)
+        return np.ones(n, int), states
 
-    monkeypatch.setattr(SP, "solve_x_y_z_theta_from_kpt", fake_solver)
+    monkeypatch.setattr(SP, "solve_batch_x_y_z_theta", fake_solver)
 
     import flax
 
@@ -380,3 +382,63 @@ def test_width_crop_1984_feature_reach_bound():
             worst_reach = max(worst_reach, reach)
     # the band must actually influence SOME edge features (content there)
     assert worst_reach > 0
+
+
+def test_batch_solver_matches_scalar_solver():
+    """ops.box_solver batch entries reproduce the scalar Gauss-Newton
+    (same iteration/stop semantics; tiny FP reassociation only) on random
+    stereo-consistent problems, including keypoint-less rows."""
+    from eval_driving_safety_tpu.ops.box_solver import (
+        solve_batch_x_y_theta, solve_batch_x_y_z_theta,
+        solve_x_y_theta_from_kpt, solve_x_y_z_theta_from_kpt)
+
+    rng = np.random.RandomState(5)
+    n = 24
+    dims = np.stack([1.4 + 0.3 * rng.rand(n), 1.5 + 0.4 * rng.rand(n),
+                     3.5 + 1.0 * rng.rand(n)], 1)
+    x = rng.uniform(-8, 8, n)
+    z = rng.uniform(6, 40, n)
+    y = rng.uniform(1.2, 1.9, n)
+    th = rng.uniform(-np.pi, np.pi, n)
+    alphas = th - np.arctan2(x, z)
+    boxes_l, boxes_r, kpts = [], [], []
+    for i in range(n):
+        from eval_driving_safety_tpu.ops.box_solver import _box_corners_cam
+        c = _box_corners_cam(x[i], y[i], z[i], dims[i], th[i])
+        zs = np.maximum(c[:, 2], 0.5)
+        us = CALIB.f_u * c[:, 0] / zs + CALIB.c_u
+        vs = CALIB.f_u * c[:, 1] / zs + CALIB.c_v
+        ur = CALIB.f_u * (c[:, 0] - CALIB.baseline) / zs + CALIB.c_u
+        boxes_l.append([us.min(), vs.min(), us.max(), vs.max()])
+        boxes_r.append([ur.min(), vs.min(), ur.max(), vs.max()])
+        # half the rows carry a keypoint, half disable it (u = -1)
+        k = int(np.argmin(zs[:4]))
+        kpts.append([us[k] if i % 2 == 0 else -1.0, k, 1.0,
+                     us.min(), us.max()])
+    boxes_l, boxes_r = np.asarray(boxes_l), np.asarray(boxes_r)
+    kpts = np.asarray(kpts)
+
+    status_b, states_b = solve_batch_x_y_z_theta(
+        CALIB, alphas, dims, boxes_l, boxes_r, kpts)
+    for i in range(n):
+        s, st = solve_x_y_z_theta_from_kpt(
+            (375, 1242), CALIB, alphas[i], dims[i], boxes_l[i], boxes_r[i],
+            kpts[i])
+        assert s == status_b[i]
+        if s > 0:
+            np.testing.assert_allclose(states_b[i], st, rtol=1e-5,
+                                       atol=1e-4)
+    # the solves actually recover the planted geometry
+    ok = status_b > 0
+    assert ok.sum() >= n - 2
+    np.testing.assert_allclose(states_b[ok, 2], z[ok], rtol=0.15)
+
+    disp = CALIB.f_u * CALIB.baseline / z
+    st3_b, z_b = solve_batch_x_y_theta(CALIB, alphas, dims, boxes_l, disp,
+                                       kpts)
+    for i in range(0, n, 3):
+        st, zz = solve_x_y_theta_from_kpt(
+            (375, 1242), CALIB, alphas[i], dims[i], boxes_l[i], disp[i],
+            kpts[i])
+        np.testing.assert_allclose(st3_b[i], st, rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(z_b[i], zz, rtol=1e-7)
