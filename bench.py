@@ -433,8 +433,9 @@ def bench_dsgn_e2e_sweep(tiny: bool, n_frames: int = 12,
                 o = model.apply(params, (l - mean255) / std255,
                                 (r - mean255) / std255, *calib)
                 return dsgn_total_loss(o, depth, boxes, nb, cfg)[0]
+            b1_ok = (il.shape[-2] * il.shape[-1]) % 8 == 0
             res = pgd_attack(loss_fn, il, ir, num_iters=n_iters,
-                             collect="signs", **kw)
+                             collect="signs1" if b1_ok else "signs", **kw)
             return res.losses, res.trajectory
 
         replayer = cf.ThreadPoolExecutor(max_workers=2)
@@ -459,7 +460,7 @@ def bench_dsgn_e2e_sweep(tiny: bool, n_frames: int = 12,
                                       jnp.asarray(g["boxes3d"]),
                                       jnp.asarray(g["num_boxes"]))
             if writer is None:
-                np.asarray(traj[0])        # warmup: force the fetch
+                np.asarray(jax.tree_util.tree_leaves(traj)[0])  # warmup
                 return
 
             def job(b=b, pl=traj[0], pr=traj[1]):
@@ -536,7 +537,7 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
     from eval_driving_safety_tpu.cli.common import make_srcnn_cfg
     from eval_driving_safety_tpu.data.dataset import (AsyncImageWriter,
                                                       KittiStereoDataset,
-                                                      fetch_np,
+                                                      fetch_packed_signs,
                                                       prepare_srcnn_batch_u8,
                                                       save_sweep,
                                                       srcnn_cleanv_device,
@@ -574,9 +575,11 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
                                 ir_v * cb - means, gt=gt, rng=rng,
                                 mode="attack")
                 return total_attack_loss(o.losses, uncert)
+            b1_ok = (clean_l.shape[-2] * clean_l.shape[-1]) % 8 == 0
             res = pgd_attack(loss_fn, clean_l, clean_r, num_iters=n_iters,
                              alpha=alpha_v, eps=eps_v, clip_min=0.0,
-                             clip_max=max_v, collect="signs")
+                             clip_max=max_v,
+                             collect="signs1" if b1_ok else "signs")
             return res.losses, res.trajectory
 
         ident = lambda x: x
@@ -619,7 +622,7 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
                                       jnp.asarray(max_v),
                                       jnp.asarray(b["c255"]))
             if writer is None:
-                np.asarray(traj[0])
+                np.asarray(jax.tree_util.tree_leaves(traj)[0])
                 return params
 
             def job(b=b, pl=traj[0], pr=traj[1], K=K):
@@ -629,7 +632,7 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
                     # fused native resize + iteration-0 quantize (one pass)
                     v2l, v2r, q0l, q0r = srcnn_cleanv_q0_host(b)
                 with stage("fetch_signs"):
-                    pl_, pr_ = fetch_np(pl), fetch_np(pr)
+                    pl_, pr_, bits = fetch_packed_signs(pl, pr)
                 a2i = (2 * K).astype(np.int64)
                 e2i = (153 * K).astype(np.int64)
                 m2i = (510 * K).astype(np.int64)
@@ -637,11 +640,11 @@ def bench_srcnn_e2e_sweep(tiny: bool, n_frames: int = 12,
                     nat_l = replay_sweep_u8(v2l, pl_, alpha2=a2i,
                                             eps2=e2i, max2=m2i,
                                             c255=b["c255"],
-                                            flip_channels=True)
+                                            flip_channels=True, bits=bits)
                     nat_r = replay_sweep_u8(v2r, pr_, alpha2=a2i,
                                             eps2=e2i, max2=m2i,
                                             c255=b["c255"],
-                                            flip_channels=True)
+                                            flip_channels=True, bits=bits)
                 with stage("save_enqueue"):
                     save_sweep(b, (q0l, q0r), zip(nat_l, nat_r),
                                os.path.join(out, "srcnn_pgd"), ident,

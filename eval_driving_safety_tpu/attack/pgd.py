@@ -48,6 +48,47 @@ _UNPACK_LUT_I8 = (np.stack([(np.arange(256) >> (2 * i)) & 3
                             for i in range(4)], axis=-1)
                   .astype(np.int8) - 1)           # plain signs, int8
 
+# 1-bit planes ("signs1"): bit i of a byte = LSB-first flag for element
+# 8*k+i. The positive plane alone is enough when no gradient is exactly
+# zero (the overwhelmingly common case — see pgd_attack collect="signs1");
+# the zero plane is a SEPARATE 1-bit plane fetched only when the per-iter
+# zero count says it is needed, so the steady-state device->host sign
+# traffic HALVES vs the 2-bit codes.
+_B1_WEIGHTS = tuple(1 << i for i in range(8))
+_B1_BITS = np.stack([(np.arange(256) >> i) & 1 for i in range(8)],
+                    axis=-1).astype(np.uint16)                 # (256, 8)
+
+
+def _b1_to_code2_lut(ones_code: int, zeros_code: int) -> np.ndarray:
+    """(256,) uint16 LUT: 8 bits -> eight 2-bit fields (little-endian),
+    set-bit fields = ones_code, clear-bit fields = zeros_code."""
+    fields = np.where(_B1_BITS == 1, ones_code, zeros_code).astype(np.uint16)
+    return (fields << (2 * np.arange(8, dtype=np.uint16))).sum(
+        axis=-1, dtype=np.uint16)
+
+
+# positive plane alone: bit -> sign code (+1 -> 2, -1 -> 0)
+_LUT_B1_CODE2 = _b1_to_code2_lut(2, 0)
+# zero plane: where the zero bit is set, FORCE code 1 (sign 0):
+# code2 = (base & ~mask3) | mask1
+_LUT_Z_MASK3 = _b1_to_code2_lut(3, 0)
+_LUT_Z_CODE1 = _b1_to_code2_lut(1, 0)
+
+
+def signs1_to_packed2(pos_packed: np.ndarray,
+                      zero_packed: Optional[np.ndarray] = None) -> np.ndarray:
+    """Host convert of 1-bit sign planes to the 2-bit `pack_signs` codes
+    (exact): (..., W*C//8) uint8 -> (..., W*C//4) uint8. Lets every
+    existing replay path (native kernel, replay_pgd_ints/_255, replay_pgd)
+    consume 1-bit fetches unchanged."""
+    p = np.asarray(pos_packed)
+    code = _LUT_B1_CODE2[p]
+    if zero_packed is not None:
+        z = np.asarray(zero_packed)
+        code = (code & ~_LUT_Z_MASK3[z]) | _LUT_Z_CODE1[z]
+    # little-endian uint16 -> two LSB-first 2-bit-code bytes
+    return code.astype("<u2").view(np.uint8).reshape(*p.shape[:-1], -1)
+
 
 def pack_signs(s):
     """(..., W, C) f32/i8 signs in {-1,0,+1} -> (..., W*C//4) uint8."""
@@ -56,6 +97,16 @@ def pack_signs(s):
         raise ValueError(f"W*C={w * c} not divisible by 4; pad the width")
     code = (s + 1).astype(jnp.uint8).reshape(*s.shape[:-2], (w * c) // 4, 4)
     weights = jnp.asarray(_PACK_WEIGHTS, jnp.uint8)
+    return (code * weights).sum(axis=-1).astype(jnp.uint8)
+
+
+def pack_bits(b):
+    """(..., W, C) bool -> (..., W*C//8) uint8, LSB-first 1-bit plane."""
+    w, c = b.shape[-2], b.shape[-1]
+    if (w * c) % 8 != 0:
+        raise ValueError(f"W*C={w * c} not divisible by 8; pad the width")
+    code = b.astype(jnp.uint8).reshape(*b.shape[:-2], (w * c) // 8, 8)
+    weights = jnp.asarray(_B1_WEIGHTS, jnp.uint8)
     return (code * weights).sum(axis=-1).astype(jnp.uint8)
 
 
@@ -73,8 +124,12 @@ class PGDResult(NamedTuple):
     adv_right: jnp.ndarray
     losses: jnp.ndarray      # (num_iters,) loss value per iteration
     trajectory: Optional[tuple]
-    # collect=True:    ((iters, B, H, W, 3) f32, same) — full iterates
-    # collect="signs": ((iters, B, H, W*3//4) u8, same) — packed signs
+    # collect=True:     ((iters, B, H, W, 3) f32, same) — full iterates
+    # collect="signs":  ((iters, B, H, W*3//4) u8, same) — packed signs
+    # collect="signs1": per side a (pos_plane (iters,B,H,W*3//8) u8,
+    #                   zero_plane same, nzeros (iters,) i32) triple —
+    #                   fetch pos+nzeros; fetch zero_plane only if nzeros
+    #                   says any gradient was exactly 0 (see module doc)
 
 
 def pgd_attack(loss_fn: Callable, clean_left, clean_right, *,
@@ -87,10 +142,15 @@ def pgd_attack(loss_fn: Callable, clean_left, clean_right, *,
 
     collect=True stacks full iterates; collect="signs" stacks 2-bit packed
     gradient signs (requires sign_only), from which `replay_pgd`
-    reconstructs every iterate on the host bit-exactly.
+    reconstructs every iterate on the host bit-exactly. collect="signs1"
+    splits each iteration's signs into TWO 1-bit planes (positive, zero)
+    plus a per-iteration zero count: gradients are exactly zero at a pixel
+    only in degenerate cases, so the host fetches the positive plane +
+    counts and pulls the zero plane only when a count is nonzero — halving
+    the steady-state sign traffic through the device->host link.
     """
-    if collect == "signs" and not sign_only:
-        raise ValueError("collect='signs' requires sign_only=True")
+    if collect in ("signs", "signs1") and not sign_only:
+        raise ValueError(f"collect={collect!r} requires sign_only=True")
     clip_min = jnp.asarray(clip_min, clean_left.dtype)
     clip_max = jnp.asarray(clip_max, clean_left.dtype)
     grad_fn = jax.value_and_grad(
@@ -109,6 +169,10 @@ def pgd_attack(loss_fn: Callable, clean_left, clean_right, *,
         xr = project(xr + alpha * gr, clean_right)
         if collect == "signs":
             out = (pack_signs(gl), pack_signs(gr))
+        elif collect == "signs1":
+            out = tuple((pack_bits(g > 0), pack_bits(g == 0),
+                         jnp.sum(g == 0, dtype=jnp.int32))
+                        for g in (gl, gr))
         elif collect:
             out = (xl, xr)
         else:

@@ -53,6 +53,7 @@ def get_native():
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.replay_sweep_u8.restype = None
+        lib.replay_sweep_u8_b1.restype = None
         lib.resize_v2_i32.restype = None
         lib.resize_v2_q0.restype = None
         lib.quantize_v_u8.restype = None
@@ -179,13 +180,17 @@ def png_store_write(path: str, arr: np.ndarray) -> bool:
 
 def replay_sweep_u8(clean_v: np.ndarray, packed: np.ndarray,
                     alpha2, eps2, max2, c255,
-                    flip_channels: bool):
+                    flip_channels: bool, bits: int = 2):
     """(B,H,W,C) UNDOUBLED int32 clean v-values + (iters,B,HWC/4) packed
     signs -> (iters,B,H,W,C) quantized u8 frames, or None when the native
     library is unavailable. alpha2/eps2/max2 stay DOUBLED (the kernel
     works on the doubled grid internally; it doubles the clean values on
     the fly, saving the caller a full-array multiply pass). Parameters
-    are per-sample (B,) arrays (scalars are broadcast)."""
+    are per-sample (B,) arrays (scalars are broadcast).
+
+    bits=1: `packed` is the (iters,B,HWC/8) 1-bit POSITIVE sign plane
+    (attack.pgd collect="signs1", valid only when the fetched zero counts
+    are all 0 — the caller's responsibility); halves the fetch bytes."""
     lib = get_native()
     if lib is None:
         return None
@@ -203,7 +208,8 @@ def replay_sweep_u8(clean_v: np.ndarray, packed: np.ndarray,
         np.asarray(c255, np.float32).reshape(-1), (b,)), np.float32)
     out = np.empty((iters, b, h, w, c), np.uint8)
     p = ctypes.POINTER
-    lib.replay_sweep_u8(
+    fn = lib.replay_sweep_u8 if bits == 2 else lib.replay_sweep_u8_b1
+    fn(
         clean_v.ctypes.data_as(p(ctypes.c_int32)),
         packed.ctypes.data_as(p(ctypes.c_uint8)),
         a2.ctypes.data_as(p(ctypes.c_int32)),

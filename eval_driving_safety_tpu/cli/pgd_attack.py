@@ -151,15 +151,20 @@ def run_dsgn(args):
     @jax.jit
     def attack(params, il_u8, ir_u8, calib, depth_gt, boxes3d, num_boxes):
         # clean = exact u8 pixels as f32 (lossless). With transfer="signs"
-        # only 2-bit packed gradient signs come back and the host replays
-        # the update rule bit-exactly — 16-32x less link traffic per
-        # frame than fetching quantized iterates
+        # only packed gradient signs come back and the host replays the
+        # update rule bit-exactly — 16-32x less link traffic per frame
+        # than fetching quantized iterates. The "signs1" format (two
+        # 1-bit planes + zero counts; only the positive plane is fetched
+        # in the steady state) halves that again; shapes are static under
+        # jit, so the divisibility gate resolves at trace time.
         clean_l = il_u8.astype(jnp.float32)
         clean_r = ir_u8.astype(jnp.float32)
+        b1_ok = (il_u8.shape[-2] * il_u8.shape[-1]) % 8 == 0
         res = pgd_attack(make_loss(params, calib, depth_gt, boxes3d,
                                    num_boxes),
                          clean_l, clean_r, num_iters=args.iter,
-                         collect="signs" if signs else True, **kw)
+                         collect=(("signs1" if b1_ok else "signs")
+                                  if signs else True), **kw)
         if signs:
             return res.losses, res.trajectory
         # quantize the saved trajectory on device (truncation, the same
@@ -248,9 +253,10 @@ def run_dsgn(args):
 def run_srcnn(args):
     from eval_driving_safety_tpu.attack.pgd import (pgd_attack, replay_pgd,
                                                     replay_pgd_ints,
+                                                    signs1_to_packed2,
                                                     srcnn_replay_intable)
     from eval_driving_safety_tpu.data.dataset import (
-        fetch_np, prepare_srcnn_batch_u8, quantize_v_batch_u8,
+        fetch_packed_signs, prepare_srcnn_batch_u8, quantize_v_batch_u8,
         quantize_v_rgb_u8, save_attacked_images, save_sweep,
         srcnn_cleanv_device, srcnn_cleanv_host, srcnn_cleanv_q0_host)
     from eval_driving_safety_tpu.models.stereo_rcnn import (
@@ -291,10 +297,12 @@ def run_srcnn(args):
                               mode="attack")
             return total_attack_loss(out.losses, uncert)
 
+        b1_ok = (clean_l.shape[-2] * clean_l.shape[-1]) % 8 == 0
         res = pgd_attack(loss_fn, clean_l, clean_r, num_iters=args.iter,
                          alpha=alpha_v, eps=eps_v, clip_min=0.0,
                          clip_max=max_v,
-                         collect="signs" if signs else True)
+                         collect=(("signs1" if b1_ok else "signs")
+                                  if signs else True))
         if signs:
             return res.losses, res.trajectory
         # device-side v -> quantized RGB u8 for the fetched trajectory
@@ -324,7 +332,7 @@ def run_srcnn(args):
                     + ("native/int (bit-exact integer grid)" if intable
                        else "f32 per-iteration (non-grid alpha/eps or "
                             "values past the f32-exact bound)"))
-            pl_, pr_ = fetch_np(pl), fetch_np(pr)
+            pl_, pr_, bits = fetch_packed_signs(pl, pr)
             if intable:
                 from eval_driving_safety_tpu.attack.replay_native import \
                     replay_sweep_u8
@@ -333,13 +341,16 @@ def run_srcnn(args):
                 m2i = (510 * K).astype(np.int64)
                 nat_l = replay_sweep_u8(v2l, pl_, alpha2=a2i, eps2=e2i,
                                         max2=m2i, c255=c255,
-                                        flip_channels=True)
+                                        flip_channels=True, bits=bits)
                 if nat_l is not None:
                     nat_r = replay_sweep_u8(v2r, pr_, alpha2=a2i,
                                             eps2=e2i, max2=m2i, c255=c255,
-                                            flip_channels=True)
+                                            flip_channels=True, bits=bits)
                     frames = zip(nat_l, nat_r)
                 else:
+                    if bits == 1:
+                        pl_ = signs1_to_packed2(pl_)
+                        pr_ = signs1_to_packed2(pr_)
                     half = np.float32(0.5)
                     frames = ((quantize_v_rgb_u8(
                         a.astype(np.float32) * half, c255),
@@ -349,6 +360,9 @@ def run_srcnn(args):
                             v2l * 2, v2r * 2, pl_, pr_,
                             alpha2=a2i, eps2=e2i, clip_max2=m2i))
             else:
+                if bits == 1:
+                    pl_ = signs1_to_packed2(pl_)
+                    pr_ = signs1_to_packed2(pr_)
                 frames = ((quantize_v_rgb_u8(a, c255),
                            quantize_v_rgb_u8(c, c255))
                           for a, c in replay_pgd(

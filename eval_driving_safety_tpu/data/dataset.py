@@ -663,6 +663,36 @@ def fetch_np(arr, poll_s: float = 0.004) -> np.ndarray:
     return np.asarray(arr)
 
 
+def fetch_signs1(side) -> tuple:
+    """Fetch one side of a collect="signs1" trajectory ((pos, zero, nz)
+    device arrays): pulls the tiny per-iteration zero counts and the 1-bit
+    positive plane; the zero plane crosses the link ONLY when some
+    gradient was exactly zero (degenerate, never observed on real
+    attacks) — so the steady-state sign fetch is half the 2-bit format's
+    bytes. Returns (pos_np, zero_np_or_None)."""
+    pos, zero, nz = side
+    nz_np = fetch_np(nz)
+    pos_np = fetch_np(pos)
+    if int(np.asarray(nz_np).sum()) == 0:
+        return pos_np, None
+    return pos_np, fetch_np(zero)
+
+
+def fetch_packed_signs(packed_l, packed_r):
+    """Normalize a fetched sign trajectory pair to (pl, pr, bits): 3-tuple
+    sides are the "signs1" format (bits=1 when no zero plane was needed,
+    else converted to the 2-bit codes); plain arrays are the 2-bit
+    format."""
+    from eval_driving_safety_tpu.attack.pgd import signs1_to_packed2
+    if isinstance(packed_l, tuple):
+        pl, zl = fetch_signs1(packed_l)
+        pr, zr = fetch_signs1(packed_r)
+        if zl is None and zr is None:
+            return pl, pr, 1
+        return (signs1_to_packed2(pl, zl), signs1_to_packed2(pr, zr), 2)
+    return fetch_np(packed_l), fetch_np(packed_r), 2
+
+
 def save_sweep_from_signs(batch: Dict, clean_l, clean_r, packed_l, packed_r,
                           prefix: str, denorm, writer, *, alpha, eps,
                           clip_min, clip_max, clean_save=None,
@@ -683,28 +713,34 @@ def save_sweep_from_signs(batch: Dict, clean_l, clean_r, packed_l, packed_r,
     (attack.pgd.replay_pgd_255 — the cheap path)."""
     from eval_driving_safety_tpu.attack.pgd import (replay_255_valid,
                                                     replay_pgd,
-                                                    replay_pgd_255)
+                                                    replay_pgd_255,
+                                                    signs1_to_packed2)
     cs_l, cs_r = clean_save if clean_save is not None else (clean_l, clean_r)
     save_attacked_images(batch, cs_l, cs_r, f"{prefix}_iters_0", denorm,
                          writer=writer)
-    pl, pr = fetch_np(packed_l), fetch_np(packed_r)
+    pl, pr, bits = fetch_packed_signs(packed_l, packed_r)
     if space_255 and clean_l.dtype == np.uint8 and \
             replay_255_valid(alpha, eps, clip_min, clip_max):
         from eval_driving_safety_tpu.attack.replay_native import \
             replay_sweep_u8
         nat_l = replay_sweep_u8(clean_l.astype(np.int32), pl,
                                 alpha2=2, eps2=int(round(2 * float(eps))),
-                                max2=510, c255=1.0, flip_channels=False)
+                                max2=510, c255=1.0, flip_channels=False,
+                                bits=bits)
         if nat_l is not None:
             nat_r = replay_sweep_u8(clean_r.astype(np.int32), pr,
                                     alpha2=2,
                                     eps2=int(round(2 * float(eps))),
                                     max2=510, c255=1.0,
-                                    flip_channels=False)
+                                    flip_channels=False, bits=bits)
             frames = zip(nat_l, nat_r)
         else:
+            if bits == 1:      # numpy fallbacks consume the 2-bit codes
+                pl, pr = signs1_to_packed2(pl), signs1_to_packed2(pr)
             frames = replay_pgd_255(clean_l, clean_r, pl, pr, eps=eps)
     elif space_255:
+        if bits == 1:
+            pl, pr = signs1_to_packed2(pl), signs1_to_packed2(pr)
         frames = ((np.clip(xl, 0, 255).astype(np.uint8),
                    np.clip(xr, 0, 255).astype(np.uint8))
                   for xl, xr in replay_pgd(
@@ -712,6 +748,8 @@ def save_sweep_from_signs(batch: Dict, clean_l, clean_r, packed_l, packed_r,
                       pl, pr, alpha=alpha, eps=eps,
                       clip_min=clip_min, clip_max=clip_max))
     else:
+        if bits == 1:
+            pl, pr = signs1_to_packed2(pl), signs1_to_packed2(pr)
         frames = replay_pgd(clean_l, clean_r, pl, pr, alpha=alpha, eps=eps,
                             clip_min=clip_min, clip_max=clip_max)
     for k, (xl, xr) in enumerate(frames):

@@ -43,6 +43,23 @@ struct SignLut {
 };
 const SignLut kSignLut;
 
+// 1-bit positive plane (LSB-first) -> 8 int8 signs (bit ? +1 : -1) packed
+// in a uint64 so one 64-bit store unpacks 8 signs.
+struct SignLut1 {
+    uint64_t t[256];
+    SignLut1() {
+        for (int i = 0; i < 256; ++i) {
+            uint64_t out = 0;
+            for (int j = 0; j < 8; ++j) {
+                int8_t s = ((i >> j) & 1) ? 1 : -1;
+                out |= (uint64_t)(uint8_t)s << (8 * j);
+            }
+            t[i] = out;
+        }
+    }
+};
+const SignLut1 kSignLut1;
+
 inline int32_t imin(int32_t a, int32_t b) { return a < b ? a : b; }
 inline int32_t imax(int32_t a, int32_t b) { return a > b ? a : b; }
 
@@ -111,6 +128,66 @@ void replay_sweep_u8(const int32_t* v_clean, const uint8_t* packed,
                     o[i] = (uint8_t)(int32_t)x;
                 }
                 if (flip_channels && c == 3) {   // BGR state -> RGB out
+                    for (long i = 0; i < tl; i += 3) {
+                        const uint8_t t = o[i];
+                        o[i] = o[i + 2];
+                        o[i + 2] = t;
+                    }
+                }
+            }
+        }
+    }
+    std::free(vt);
+    std::free(s8);
+}
+
+// 1-bit variant of replay_sweep_u8: `packed` is the POSITIVE 1-bit plane
+// ((iters, B, H*W*C/8) uint8, bit set -> sign +1, clear -> -1; the
+// "signs1" transfer format, valid only when no gradient was exactly zero
+// — the caller checks the fetched per-iteration zero counts and falls
+// back to the 2-bit path otherwise). Halves the device->host sign
+// traffic, which on thin-pipe hosts is the sweep's dominant transfer.
+void replay_sweep_u8_b1(const int32_t* v_clean, const uint8_t* packed,
+                        const int32_t* alpha2, const int32_t* eps2,
+                        const int32_t* max2, const float* c255,
+                        int iters, int b, int h, int w, int c,
+                        int flip_channels, uint8_t* out) {
+    const long plane = (long)h * w * c;          // per-sample elements
+    const long pbytes = plane / 8;               // packed bytes per sample
+    const long TILE = 49152;                     // %24 == 0: 8-sign bytes
+    int32_t* vt = (int32_t*)std::malloc((size_t)TILE * sizeof(int32_t));
+    int8_t* s8 = (int8_t*)std::malloc((size_t)TILE);
+    if (!vt || !s8) {
+        std::free(vt);
+        std::free(s8);
+        return;
+    }
+    for (int bi = 0; bi < b; ++bi) {
+        const int32_t a2 = alpha2[bi], e2 = eps2[bi], m2 = max2[bi];
+        const float q = 0.5f * c255[bi];
+        const int32_t* clean = v_clean + (long)bi * plane;
+        for (long t0 = 0; t0 < plane; t0 += TILE) {
+            const long tl = plane - t0 < TILE ? plane - t0 : TILE;
+            const int32_t* cl = clean + t0;
+            for (long i = 0; i < tl; ++i) vt[i] = cl[i] * 2;
+            for (int k = 0; k < iters; ++k) {
+                const uint8_t* p = packed + ((long)k * b + bi) * pbytes
+                    + (t0 >> 3);
+                uint8_t* o = out + ((long)k * b + bi) * plane + t0;
+                uint64_t* s64 = (uint64_t*)s8;
+                for (long i = 0; i < (tl >> 3); ++i)
+                    s64[i] = kSignLut1.t[p[i]];
+                for (long i = 0; i < tl; ++i) {
+                    const int32_t c2 = cl[i] * 2;
+                    int32_t d = vt[i] + (int32_t)s8[i] * a2 - c2;
+                    d = imin(imax(d, -e2), e2);
+                    const int32_t nv = imin(imax(d + c2, 0), m2);
+                    vt[i] = nv;
+                    float x = (float)nv * q;
+                    x = x < 0.f ? 0.f : (x > 255.f ? 255.f : x);
+                    o[i] = (uint8_t)(int32_t)x;
+                }
+                if (flip_channels && c == 3) {
                     for (long i = 0; i < tl; i += 3) {
                         const uint8_t t = o[i];
                         o[i] = o[i + 2];

@@ -277,3 +277,113 @@ def test_native_replay_matches_numpy_paths():
         ref_q = quantize_v_rgb_u8(v2l.astype(np.float32) * np.float32(0.5),
                                   c255)
         assert np.array_equal(native[k], ref_q), f"v-space iter {k}"
+
+
+def test_signs1_conversion_matches_pack_signs():
+    """1-bit plane pair -> 2-bit codes (signs1_to_packed2) equals
+    pack_signs exactly, with and without zeros."""
+    from eval_driving_safety_tpu.attack.pgd import pack_bits, \
+        signs1_to_packed2
+    rng = np.random.RandomState(11)
+    s = rng.randint(-1, 2, size=(4, 2, 8, 16, 3)).astype(np.float32)
+    p2 = np.asarray(pack_signs(jnp.asarray(s)))
+    pA = np.asarray(pack_bits(jnp.asarray(s > 0)))
+    pZ = np.asarray(pack_bits(jnp.asarray(s == 0)))
+    assert pA.shape == (4, 2, 8, 16 * 3 // 8)
+    assert np.array_equal(signs1_to_packed2(pA, pZ), p2)
+    s_nz = np.where(s == 0, -1.0, s).astype(np.float32)
+    p2_nz = np.asarray(pack_signs(jnp.asarray(s_nz)))
+    pA_nz = np.asarray(pack_bits(jnp.asarray(s_nz > 0)))
+    assert np.array_equal(signs1_to_packed2(pA_nz), p2_nz)
+
+
+def test_signs1_trajectory_replays_bitwise():
+    """collect='signs1' + fetch_packed_signs reproduce the device
+    iterates bit-exactly; gradients here are never exactly zero, so only
+    the 1-bit positive plane is consumed (bits=1)."""
+    from eval_driving_safety_tpu.data.dataset import fetch_packed_signs
+    rng = np.random.RandomState(13)
+    shape = (2, 8, 16, 3)
+    clean_l = (rng.randint(0, 256, shape) / 255.0).astype(np.float32)
+    clean_r = (rng.randint(0, 256, shape) / 255.0).astype(np.float32)
+    kw = dict(alpha=1 / 255.0, eps=0.3, clip_min=0.0, clip_max=1.0)
+    n = 5
+    full = jax.jit(lambda l, r: pgd_attack(
+        _toy_loss, l, r, num_iters=n, collect=True, **kw))(
+        jnp.asarray(clean_l), jnp.asarray(clean_r))
+    s1 = jax.jit(lambda l, r: pgd_attack(
+        _toy_loss, l, r, num_iters=n, collect="signs1", **kw))(
+        jnp.asarray(clean_l), jnp.asarray(clean_r))
+    assert np.array_equal(np.asarray(full.adv_left),
+                          np.asarray(s1.adv_left))
+    pl, pr, bits = fetch_packed_signs(s1.trajectory[0], s1.trajectory[1])
+    assert bits == 1 and pl.shape == (n, 2, 8, 16 * 3 // 8)
+    from eval_driving_safety_tpu.attack.pgd import signs1_to_packed2
+    replayed = list(replay_pgd(clean_l, clean_r, signs1_to_packed2(pl),
+                               signs1_to_packed2(pr), **kw))
+    for k in range(n):
+        assert np.array_equal(replayed[k][0],
+                              np.asarray(full.trajectory[0][k])), f"it {k}"
+        assert np.array_equal(replayed[k][1],
+                              np.asarray(full.trajectory[1][k])), f"it {k}"
+
+
+def test_signs1_zero_gradient_falls_back_to_two_bit():
+    """A loss with a dead input region produces exact zero gradients;
+    the zero counts must trigger the zero-plane fetch (bits=2) and the
+    converted codes must still replay bit-exactly."""
+    from eval_driving_safety_tpu.data.dataset import fetch_packed_signs
+    mask = np.ones((1, 4, 16, 3), np.float32)
+    mask[:, :2] = 0.0                              # dead half: grad == 0
+    jm = jnp.asarray(mask)
+
+    def dead_loss(il, ir):
+        return jnp.sum(jnp.sin(7.0 * il) * il * jm) + jnp.sum(ir * jm)
+
+    rng = np.random.RandomState(17)
+    clean = (rng.randint(0, 256, mask.shape) / 255.0).astype(np.float32)
+    kw = dict(alpha=1 / 255.0, eps=0.3, clip_min=0.0, clip_max=1.0)
+    n = 3
+    s1 = jax.jit(lambda l, r: pgd_attack(
+        dead_loss, l, r, num_iters=n, collect="signs1", **kw))(
+        jnp.asarray(clean), jnp.asarray(clean))
+    nz = np.asarray(s1.trajectory[0][2])
+    assert nz.shape == (n,) and (nz > 0).all()
+    pl, pr, bits = fetch_packed_signs(s1.trajectory[0], s1.trajectory[1])
+    assert bits == 2
+    full = jax.jit(lambda l, r: pgd_attack(
+        dead_loss, l, r, num_iters=n, collect=True, **kw))(
+        jnp.asarray(clean), jnp.asarray(clean))
+    replayed = list(replay_pgd(clean, clean, pl, pr, **kw))
+    for k in range(n):
+        assert np.array_equal(replayed[k][0],
+                              np.asarray(full.trajectory[0][k])), f"it {k}"
+    # the dead region never moved (sign 0 round-tripped through the planes)
+    assert np.array_equal(replayed[-1][0][:, :2], clean[:, :2])
+
+
+def test_native_replay_b1_matches_two_bit():
+    """The 1-bit native kernel (replay_sweep_u8 bits=1) emits frames
+    byte-equal to the 2-bit kernel on the converted codes, both spaces."""
+    from eval_driving_safety_tpu.attack.pgd import signs1_to_packed2
+    from eval_driving_safety_tpu.attack.replay_native import replay_sweep_u8
+    rng = np.random.RandomState(23)
+    shape = (2, 8, 16, 3)
+    pA = rng.randint(0, 256, (4, 2, 8, 16 * 3 // 8)).astype(np.uint8)
+    p2 = signs1_to_packed2(pA)
+    u8l = rng.randint(0, 256, shape).astype(np.int32)
+    nat1 = replay_sweep_u8(u8l, pA, alpha2=2, eps2=153, max2=510,
+                           c255=1.0, flip_channels=False, bits=1)
+    if nat1 is None:
+        pytest.skip("native toolchain unavailable")
+    nat2 = replay_sweep_u8(u8l, p2, alpha2=2, eps2=153, max2=510,
+                           c255=1.0, flip_channels=False, bits=2)
+    assert np.array_equal(nat1, nat2)
+    K = np.array([48, 80], np.int64)
+    v = (rng.rand(*shape) * 255 * K.reshape(2, 1, 1, 1)).astype(np.int32)
+    c255 = (1.0 / K).astype(np.float32)
+    nat1 = replay_sweep_u8(v, pA, alpha2=2 * K, eps2=5 * K, max2=510 * K,
+                           c255=c255, flip_channels=True, bits=1)
+    nat2 = replay_sweep_u8(v, p2, alpha2=2 * K, eps2=5 * K, max2=510 * K,
+                           c255=c255, flip_channels=True, bits=2)
+    assert np.array_equal(nat1, nat2)
